@@ -1,0 +1,80 @@
+"""Host-side 16-bit depth PNG I/O and model-space preprocessing.
+
+The reference loads 3DMatch uint16 depth PNGs with PIL, scales by 1e-4 (mm ->
+unit of 10 m), clips values > 1 to 0, resizes the short side with NEAREST and
+center-crops (sdd:1535-1554, 2356-2361). The same host pipeline is
+reproduced here feeding device buffers; writes use cv2's uint16 PNG encoder
+like the reference (sdd:2618-2620).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+
+def read_depth_png(path: Union[str, os.PathLike]) -> np.ndarray:
+    """Read a 16-bit depth PNG to (h, w) uint16/int32 raw values."""
+    img = Image.open(path)
+    return np.asarray(img)
+
+
+def write_depth_png(path: Union[str, os.PathLike], depth01: np.ndarray) -> None:
+    """Write model-space [0,1] depth as a uint16 millimeter PNG.
+
+    Reference: sdd:2618-2620 (``image * 1e4 -> uint16 -> cv2.imwrite``).
+    """
+    import cv2
+
+    depth_mm = (np.asarray(depth01, np.float64) * 1e4).astype(np.uint16)
+    cv2.imwrite(os.fspath(path), depth_mm)
+
+
+def resize_nearest_short_side(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the short side == size, NEAREST interpolation (PIL parity).
+
+    Matches torchvision ``T.Resize(size, NEAREST)`` on PIL images
+    (sdd:1537).
+    """
+    h, w = img.shape[:2]
+    if h <= w:
+        new_h = size
+        new_w = int(round(size * w / h))
+    else:
+        new_w = size
+        new_h = int(round(size * h / w))
+    pil = Image.fromarray(img)
+    pil = pil.resize((new_w, new_h), resample=Image.NEAREST)
+    return np.asarray(pil)
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop to (size, size), torchvision rounding parity.
+
+    torchvision CenterCrop: left = round((w - cw) / 2), top likewise.
+    """
+    h, w = img.shape[:2]
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return img[top:top + size, left:left + size]
+
+
+def load_depth_model_space(
+    path: Union[str, os.PathLike],
+    image_size: int,
+) -> np.ndarray:
+    """Load a 3DMatch depth PNG into model space: (h, w) float32 in [0, 1].
+
+    Pipeline (reference sdd:1550-1554, 2356-2361, 2458-2459): NEAREST resize
+    short side -> image_size, center crop, scale raw mm by 1e-4 so 1.0 ==
+    10 m, clip values above 1 to 0 (invalid).
+    """
+    raw = read_depth_png(path)
+    raw = resize_nearest_short_side(raw, image_size)
+    raw = center_crop(raw, image_size)
+    depth = raw.astype(np.float32) * 1e-4
+    depth = np.where(depth > 1.0, 0.0, depth)
+    return depth

@@ -1,0 +1,305 @@
+"""Point-cloud primitives as static-shape TPU device ops.
+
+The reference leans on Open3D C++ (``voxel_down_sample``, ``KDTreeFlann``
+radius queries inside Python for-loops) for everything here — the hottest
+host-side loops in its pipeline (SURVEY.md §2.1, §3.4). This module rebuilds
+them as jittable JAX ops over **padded + masked** point sets:
+
+- ``voxel_downsample``: quantize -> lexsort -> segment-mean. One fused XLA
+  program; output is padded to the input capacity with a validity mask.
+- ``any_within_radius`` / ``min_dist_sq``: tiled pairwise distances via the
+  MXU (|s|^2 + |t|^2 - 2 s.t), scanned over target blocks so memory stays
+  bounded. Replaces per-point KD-tree queries.
+- ``overlap_ratio``: the generate_gt.py overlap computation, end-to-end on
+  device.
+
+Padded clouds: every (n, 3) array carries an (n,) bool ``valid`` mask;
+functions never compact, they re-pad.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = jax.Array
+
+_INT_SENTINEL = np.int32(2**30)
+
+
+def crop_bbox(points: Array, valid: Array, min_bound, max_bound) -> Array:
+    """Validity-mask points outside an axis-aligned bounding box.
+
+    Replaces ``o3d.geometry.AxisAlignedBoundingBox`` + ``crop`` (sdd:2348,
+    2486) without compaction.
+
+    Returns:
+        new (n,) or (b, n) bool mask.
+    """
+    lo = jnp.asarray(min_bound, dtype=points.dtype)
+    hi = jnp.asarray(max_bound, dtype=points.dtype)
+    inside = jnp.all((points >= lo) & (points <= hi), axis=-1)
+    return valid & inside
+
+
+def voxel_downsample(
+    points: Array,
+    valid: Array,
+    voxel_size: float,
+    *,
+    origin: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Voxel-grid downsample (mean of points per voxel), padded output.
+
+    Open3D semantics (``voxel_down_sample``): voxel index is
+    ``floor((p - origin) / voxel)`` with origin the cloud's min bound, and
+    the output point is the centroid of each occupied voxel. Replaces the
+    Open3D calls at sdd:2148-2149, 2492-2493, 2676-2677, generate_gt.py:75-76.
+
+    Strategy (all static shapes): quantize -> lexsort by (qx, qy, qz) with
+    invalid points pushed to the tail -> mark segment starts -> segment-sum
+    points and counts -> centroid per segment. Valid segments come out first.
+
+    Args:
+        points: (n, 3).
+        valid: (n,) bool.
+        voxel_size: edge length in meters.
+        origin: optional (3,) quantization origin; defaults to the min bound
+            of the valid points (Open3D behavior).
+
+    Returns:
+        out_points: (n, 3) centroids, padded with zeros.
+        out_valid:  (n,) bool, True for the leading occupied-voxel entries.
+    """
+    n = points.shape[0]
+    big = jnp.asarray(1e30, points.dtype)
+
+    if origin is None:
+        masked = jnp.where(valid[:, None], points, big)
+        origin = jnp.min(masked, axis=0)
+    origin = jnp.asarray(origin, points.dtype)
+
+    q = jnp.floor((points - origin[None, :]) / voxel_size).astype(jnp.int32)
+    q = jnp.where(valid[:, None], q, _INT_SENTINEL)
+
+    order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    q_sorted = q[order]
+    pts_sorted = points[order]
+    valid_sorted = valid[order]
+
+    prev = jnp.roll(q_sorted, 1, axis=0)
+    is_first = jnp.any(q_sorted != prev, axis=-1)
+    is_first = is_first.at[0].set(True)
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+
+    w = valid_sorted.astype(points.dtype)
+    sums = jax.ops.segment_sum(pts_sorted * w[:, None], seg_id, num_segments=n)
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=n)
+
+    out_valid = counts > 0
+    out_points = sums / jnp.maximum(counts, 1.0)[:, None]
+    out_points = jnp.where(out_valid[:, None], out_points, 0.0)
+    return out_points, out_valid
+
+
+def _block_scan_hits(src: Array, src_valid: Array, tgt: Array,
+                     tgt_valid: Array, radius_sq: Array,
+                     block: int) -> Array:
+    """any(d^2 <= r^2) per src point, scanning tgt in MXU-sized blocks."""
+    n = src.shape[0]
+    m = tgt.shape[0]
+    pad = (-m) % block
+    if pad:
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)], axis=0)
+        tgt_valid = jnp.concatenate(
+            [tgt_valid, jnp.zeros((pad,), bool)], axis=0)
+    nb = tgt.shape[0] // block
+    tgt_blocks = tgt.reshape(nb, block, 3)
+    tgtv_blocks = tgt_valid.reshape(nb, block)
+
+    s_sq = jnp.sum(src * src, axis=-1)  # (n,)
+
+    def body(hit, blk):
+        t, tv = blk
+        t_sq = jnp.sum(t * t, axis=-1)  # (block,)
+        d_sq = (s_sq[:, None] + t_sq[None, :] -
+                2.0 * jnp.dot(src, t.T, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+        ok = (d_sq <= radius_sq) & tv[None, :]
+        return hit | jnp.any(ok, axis=-1), None
+
+    hits, _ = lax.scan(body, jnp.zeros((n,), bool), (tgt_blocks, tgtv_blocks))
+    return hits & src_valid
+
+
+def any_within_radius(
+    src: Array,
+    src_valid: Array,
+    tgt: Array,
+    tgt_valid: Array,
+    radius: float,
+    *,
+    block: int = 512,
+) -> Array:
+    """For each valid src point: does any valid tgt point lie within radius?
+
+    Tiled pairwise-distance replacement for the per-point
+    ``KDTreeFlann.search_radius_vector_3d`` Python loops
+    (generate_gt.py:82-97, dc:397-412). Distances ride the MXU as one matmul
+    per (src, tgt-block) tile.
+
+    Returns:
+        (n,) bool hit mask (False for invalid src points).
+    """
+    r_sq = jnp.asarray(radius * radius, jnp.float32)
+    return _block_scan_hits(src.astype(jnp.float32), src_valid,
+                            tgt.astype(jnp.float32), tgt_valid, r_sq, block)
+
+
+def min_dist_sq(
+    src: Array,
+    src_valid: Array,
+    tgt: Array,
+    tgt_valid: Array,
+    *,
+    block: int = 512,
+) -> Array:
+    """Min squared distance from each src point to the valid tgt set.
+
+    Returns +inf for src points when no valid tgt exists; invalid src points
+    also get +inf.
+    """
+    n = src.shape[0]
+    m = tgt.shape[0]
+    pad = (-m) % block
+    if pad:
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)], axis=0)
+        tgt_valid = jnp.concatenate(
+            [tgt_valid, jnp.zeros((pad,), bool)], axis=0)
+    nb = tgt.shape[0] // block
+    tgt_blocks = tgt.reshape(nb, block, 3).astype(jnp.float32)
+    tgtv_blocks = tgt_valid.reshape(nb, block)
+
+    src = src.astype(jnp.float32)
+    s_sq = jnp.sum(src * src, axis=-1)
+
+    def body(best, blk):
+        t, tv = blk
+        t_sq = jnp.sum(t * t, axis=-1)
+        d_sq = (s_sq[:, None] + t_sq[None, :] -
+                2.0 * jnp.dot(src, t.T, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+        d_sq = jnp.where(tv[None, :], d_sq, jnp.inf)
+        return jnp.minimum(best, jnp.min(d_sq, axis=-1)), None
+
+    best, _ = lax.scan(body, jnp.full((n,), jnp.inf), (tgt_blocks, tgtv_blocks))
+    return jnp.where(src_valid, best, jnp.inf)
+
+
+def overlap_ratio(
+    pc1: Array,
+    valid1: Array,
+    pc2: Array,
+    valid2: Array,
+    *,
+    voxel_size: float = 0.025,
+    overlap_factor: float = 1.5,
+    downsample: bool = True,
+) -> Tuple[Array, Array]:
+    """Bidirectional overlap ratios between two padded clouds, on device.
+
+    Voxel-downsample both clouds, then for each direction count the fraction
+    of points with any counterpart within ``voxel_size * overlap_factor``.
+    Reference: compute_overlap_ratio generate_gt.py:68-102 (the CPU-hot loop
+    of gt.log generation, SURVEY.md §3.4); returns NaN for an empty cloud,
+    matching the reference's 0/0.
+
+    Returns:
+        (overlap_1, overlap_2) scalar float32.
+    """
+    if downsample:
+        pc1, valid1 = voxel_downsample(pc1, valid1, voxel_size)
+        pc2, valid2 = voxel_downsample(pc2, valid2, voxel_size)
+    radius = voxel_size * overlap_factor
+
+    hits1 = any_within_radius(pc1, valid1, pc2, valid2, radius)
+    hits2 = any_within_radius(pc2, valid2, pc1, valid1, radius)
+
+    n1 = jnp.sum(valid1.astype(jnp.float32))
+    n2 = jnp.sum(valid2.astype(jnp.float32))
+    ov1 = jnp.sum(hits1.astype(jnp.float32)) / n1
+    ov2 = jnp.sum(hits2.astype(jnp.float32)) / n2
+    return ov1, ov2
+
+
+def overlap_region(
+    src: Array,
+    src_valid: Array,
+    tgt: Array,
+    tgt_valid: Array,
+    *,
+    voxel_size: float = 0.025,
+) -> Array:
+    """Per-src-point overlap mask against the voxel-downsampled tgt cloud.
+
+    Reference: compute_overlap_region sdd:289-308 / dc:375-412 (radius =
+    1.5 * voxel, tgt downsampled, src not).
+
+    Returns:
+        (n,) bool.
+    """
+    tgt_d, tgt_dv = voxel_downsample(tgt, tgt_valid, voxel_size)
+    return any_within_radius(src, src_valid, tgt_d, tgt_dv,
+                             voxel_size * 1.5)
+
+
+def correspondences_np(
+    src: np.ndarray,
+    tgt: np.ndarray,
+    transform: np.ndarray,
+    radius: float,
+    *,
+    block: int = 2048,
+) -> np.ndarray:
+    """All (src, tgt) index pairs within ``radius`` after transforming src.
+
+    Host-facing replacement for the third-party ``get_correspondences``
+    consumed by the example dataloaders (mixture.py:145,
+    geotrans/dataset.py:143-148): distances are computed on device in blocks,
+    the dynamic-size index extraction happens on host.
+
+    Args:
+        src: (n, 3); ``transform`` (4, 4) is applied to src first.
+        tgt: (m, 3).
+
+    Returns:
+        (k, 2) int64 array of [src_idx, tgt_idx] pairs.
+    """
+    src_t = src @ transform[:3, :3].T + transform[:3, 3]
+    src_t = jnp.asarray(src_t, jnp.float32)
+    tgt_j = jnp.asarray(tgt, jnp.float32)
+    r_sq = radius * radius
+
+    @jax.jit
+    def block_mask(s_block):
+        d_sq = (jnp.sum(s_block**2, -1)[:, None] +
+                jnp.sum(tgt_j**2, -1)[None, :] -
+                2.0 * jnp.dot(s_block, tgt_j.T,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+        return d_sq <= r_sq
+
+    pairs = []
+    for start in range(0, src_t.shape[0], block):
+        s_block = src_t[start:start + block]
+        mask = np.asarray(block_mask(s_block))
+        ii, jj = np.nonzero(mask)
+        if ii.size:
+            pairs.append(np.stack([ii + start, jj], axis=1))
+    if not pairs:
+        return np.zeros((0, 2), dtype=np.int64)
+    return np.concatenate(pairs, axis=0).astype(np.int64)

@@ -1,0 +1,5 @@
+"""Flax models: diffusion denoiser + depth-correction mask U-Net."""
+
+from pointreggpt_tpu.models.unet import DiffusionUNet, MaskUNet
+
+__all__ = ["DiffusionUNet", "MaskUNet"]

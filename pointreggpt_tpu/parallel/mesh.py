@@ -1,0 +1,105 @@
+"""Device mesh + sharding helpers: the distributed backend (SURVEY.md §2.4).
+
+The reference's entire collective surface is HuggingFace Accelerate wrapping
+torch DDP/NCCL: prepare / backward-allreduce / barrier / rank-0 gating /
+split_batches. The TPU-native equivalent is declarative: one
+``jax.sharding.Mesh`` over ICI, the global batch sharded on the ``data``
+axis, params replicated — ``jax.jit`` inserts the gradient all-reduce
+(psum over ICI) automatically. Multi-host DCN comes via
+``jax.distributed.initialize`` (``maybe_initialize_distributed``), and the
+Generator's scene-range sharding maps to per-process index ranges with no
+inter-host traffic.
+
+The mesh abstraction deliberately supports extra axes (tp/pp are unused by a
+35M-param U-Net but must not be precluded; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize JAX multi-host (DCN) if a coordinator is configured.
+
+    No-op for single-host runs. Honors the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS etc.) or explicit args via env.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build a 1-D (or reshaped N-D) mesh over the available chips.
+
+    Args:
+        devices: defaults to ``jax.devices()``.
+        axis_names: mesh axis names; first axis gets all devices unless more
+            names are passed (then the device grid is reshaped evenly).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices)
+    if len(axis_names) == 1:
+        grid = devs
+    else:
+        # even split across leading axes, remainder on the last
+        n = len(devs)
+        per = int(round(n ** (1 / len(axis_names))))
+        shape = [per] * (len(axis_names) - 1)
+        shape.append(n // int(np.prod(shape)))
+        grid = devs.reshape(shape)
+    return Mesh(grid, axis_names=tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Sharding for replicated values (params, EMA, opt state)."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for per-example data: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
+    """Device-put a host batch with its leading dim split across the mesh.
+
+    Equivalent of Accelerate's ``split_batches=True`` dataloader sharding
+    (sdd:1601): the global batch divides across chips.
+    """
+    sharding = batch_sharded(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a host pytree replicated on every chip."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+
+def is_main_process() -> bool:
+    """Rank-0 gating for checkpoint/log writes (Accelerate's
+    ``is_main_process``, sdd:1657)."""
+    return jax.process_index() == 0
+
+
+def local_scene_range(start: int, stop: int) -> range:
+    """Shard a [start, stop) scene-index range across hosts.
+
+    The reference shards scenes across processes manually via CLI -start/-stop
+    (generate_dataset.py:16-29); here each JAX process takes a strided slice
+    automatically.
+    """
+    return range(start + jax.process_index(), stop, jax.process_count())

@@ -1,0 +1,158 @@
+"""Shape/dtype/behavior tests for the Flax U-Nets (tiny dims for CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
+from pointreggpt_tpu.models import blocks as B
+
+
+class TestBlocks:
+    def test_wsconv_weight_standardized(self):
+        conv = B.WSConv(4, (3, 3))
+        x = jnp.ones((1, 8, 8, 2))
+        params = conv.init(jax.random.PRNGKey(0), x)
+        y = conv.apply(params, x)
+        assert y.shape == (1, 8, 8, 4)
+
+    def test_channel_layernorm_stats(self):
+        ln = B.ChannelLayerNorm()
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 16))
+        params = ln.init(jax.random.PRNGKey(0), x)
+        y = ln.apply(params, x)
+        m = jnp.mean(y, axis=-1)
+        v = jnp.var(y, axis=-1)
+        np.testing.assert_allclose(np.asarray(m), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-3)
+
+    def test_sinusoidal_pos_emb(self):
+        emb = B.SinusoidalPosEmb(16)
+        y = emb.apply({}, jnp.array([0.0, 1.0, 500.0]))
+        assert y.shape == (3, 16)
+        # t=0 -> sin part zero, cos part one
+        np.testing.assert_allclose(np.asarray(y[0, :8]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(y[0, 8:]), 1.0, atol=1e-7)
+
+    def test_downsample_halves_upsample_doubles(self):
+        x = jnp.ones((1, 8, 8, 4))
+        down = B.Downsample(6)
+        p = down.init(jax.random.PRNGKey(0), x)
+        assert down.apply(p, x).shape == (1, 4, 4, 6)
+        up = B.Upsample(3)
+        p = up.init(jax.random.PRNGKey(0), x)
+        assert up.apply(p, x).shape == (1, 16, 16, 3)
+
+    def test_depth_augment_channels(self):
+        aug = B.DepthAugment()
+        d = jnp.array([[[1.0, 0.0], [2.0, 3.0]]])[..., None]  # (1,2,2,1)
+        y = aug.apply({}, d)
+        assert y.shape == (1, 2, 2, 3)
+        y = np.asarray(y)
+        # min over valid 3x3 neighborhood of (0,0) is 1.0
+        assert y[0, 0, 0, 1] == 1.0
+        # residual = min - depth
+        np.testing.assert_allclose(y[..., 2], y[..., 1] - y[..., 0])
+
+    def test_depth_augment_all_invalid_neighborhood(self):
+        aug = B.DepthAugment()
+        d = jnp.zeros((1, 4, 4, 1))
+        y = aug.apply({}, d)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_linear_attention_shape(self):
+        attn = B.LinearAttention(heads=2, dim_head=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16))
+        p = attn.init(jax.random.PRNGKey(1), x)
+        assert attn.apply(p, x).shape == x.shape
+
+    def test_full_attention_matches_naive(self):
+        from pointreggpt_tpu.ops import attention as A
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 2, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 2, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 2, 8))
+        out = A.multihead_attention(q, k, v, scale=8**-0.5)
+        # naive per-element check
+        sim = np.einsum("bihd,bjhd->bhij", np.asarray(q) * 8**-0.5,
+                        np.asarray(k))
+        w = np.exp(sim - sim.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        ref = np.einsum("bhij,bjhd->bihd", w, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestDiffusionUNet:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        x = jnp.zeros((2, 16, 16, 1))
+        t = jnp.zeros((2,))
+        p = jnp.zeros((2, 4))
+        params = model.init(jax.random.PRNGKey(0), x, t, p)
+        return model, params
+
+    def test_output_shape(self, model_and_params):
+        model, params = model_and_params
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+        y = model.apply(params, x, jnp.array([0.0, 999.0]),
+                        jnp.ones((2, 4)) * 100)
+        assert y.shape == (2, 16, 16, 1)
+        assert y.dtype == jnp.float32
+
+    def test_time_conditioning_changes_output(self, model_and_params):
+        model, params = model_and_params
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+        p = jnp.ones((1, 4)) * 100
+        y0 = model.apply(params, x, jnp.array([0.0]), p)
+        y1 = model.apply(params, x, jnp.array([900.0]), p)
+        assert float(jnp.abs(y0 - y1).max()) > 1e-6
+
+    def test_param_conditioning_changes_output(self, model_and_params):
+        model, params = model_and_params
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 1))
+        t = jnp.array([10.0])
+        y0 = model.apply(params, x, t, jnp.ones((1, 4)) * 100)
+        y1 = model.apply(params, x, t, jnp.ones((1, 4)) * 500)
+        assert float(jnp.abs(y0 - y1).max()) > 1e-6
+
+    def test_jit_compiles(self, model_and_params):
+        model, params = model_and_params
+        f = jax.jit(lambda pr, x, t, p: model.apply(pr, x, t, p))
+        y = f(params, jnp.zeros((2, 16, 16, 1)), jnp.zeros((2,)),
+              jnp.zeros((2, 4)))
+        assert y.shape == (2, 16, 16, 1)
+
+    def test_bfloat16_compute(self):
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 16, 16, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        y = model.apply(params, x, jnp.zeros((1,)), jnp.zeros((1, 4)))
+        assert y.dtype == jnp.float32  # final head in fp32
+        # params stay fp32
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        assert leaf.dtype == jnp.float32
+
+    def test_param_count_full_size(self):
+        # full config as the entry scripts build it (dim=64, mults 1,2,4,8)
+        model = DiffusionUNet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
+        x = jnp.zeros((1, 64, 64, 1))  # spatial size doesn't affect params
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        n = sum(p.size for p in jax.tree_util.tree_leaves(params))
+        # reference torch model has ~36.7M params; ours must match closely
+        assert 30e6 < n < 45e6, n
+
+
+class TestMaskUNet:
+    def test_output_range_and_shape(self):
+        model = MaskUNet(dim=8, dim_mults=(1, 2))
+        x = jnp.clip(
+            jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1)), 0, 1)
+        params = model.init(jax.random.PRNGKey(1), x)
+        y = model.apply(params, x)
+        assert y.shape == (2, 16, 16, 1)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0

@@ -1,0 +1,216 @@
+"""Unit tests for core.pointops: voxel downsampling, radius search, overlap."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.core import pointops as P
+from pointreggpt_tpu.core import sampling as S
+
+
+def pad_cloud(points, capacity):
+    n = points.shape[0]
+    out = np.zeros((capacity, 3), np.float32)
+    out[:n] = points
+    valid = np.zeros((capacity,), bool)
+    valid[:n] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+class TestVoxelDownsample:
+    def test_merges_points_in_same_voxel(self):
+        pts = np.array(
+            [[0.01, 0.01, 0.01], [0.02, 0.02, 0.02],  # same 0.1-voxel
+             [0.55, 0.55, 0.55]], np.float32)
+        p, v = pad_cloud(pts, 8)
+        out, out_v = P.voxel_downsample(p, v, 0.1)
+        out, out_v = np.asarray(out), np.asarray(out_v)
+        assert out_v.sum() == 2
+        got = sorted(out[out_v].tolist())
+        np.testing.assert_allclose(got[0], [0.015, 0.015, 0.015], atol=1e-6)
+        np.testing.assert_allclose(got[1], [0.55, 0.55, 0.55], atol=1e-6)
+
+    def test_valid_entries_lead(self):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+        p, v = pad_cloud(pts, 64)
+        out, out_v = P.voxel_downsample(p, v, 0.25)
+        out_v = np.asarray(out_v)
+        k = out_v.sum()
+        assert out_v[:k].all() and not out_v[k:].any()
+
+    def test_voxel_floor_semantics(self):
+        # points straddling a voxel boundary must not merge
+        pts = np.array([[0.09, 0.0, 0.0], [0.11, 0.0, 0.0]], np.float32)
+        p, v = pad_cloud(pts, 4)
+        _, out_v = P.voxel_downsample(p, v, 0.1, origin=jnp.zeros(3))
+        assert np.asarray(out_v).sum() == 2
+
+    def test_all_invalid(self):
+        p, v = pad_cloud(np.zeros((0, 3), np.float32), 4)
+        out, out_v = P.voxel_downsample(p, v, 0.1)
+        assert not np.asarray(out_v).any()
+
+    def test_centroid_count_matches_grid(self):
+        # 1000 random points in unit cube, voxel 0.5 -> at most 8 voxels,
+        # each centroid inside its voxel.
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+        p, v = pad_cloud(pts, 1024)
+        out, out_v = P.voxel_downsample(p, v, 0.5, origin=jnp.zeros(3))
+        out, out_v = np.asarray(out), np.asarray(out_v)
+        assert out_v.sum() == 8
+        cells = np.floor(out[out_v] / 0.5).astype(int)
+        assert np.unique(cells, axis=0).shape[0] == 8
+
+
+class TestRadiusSearch:
+    def test_any_within_radius(self):
+        src = np.array([[0, 0, 0], [1, 0, 0], [5, 5, 5]], np.float32)
+        tgt = np.array([[0.05, 0, 0], [1.2, 0, 0]], np.float32)
+        s, sv = pad_cloud(src, 4)
+        t, tv = pad_cloud(tgt, 4)
+        hits = np.asarray(P.any_within_radius(s, sv, t, tv, 0.1))
+        np.testing.assert_array_equal(hits[:3], [True, False, False])
+        assert not hits[3]  # padding never hits
+
+    def test_padding_target_never_matches(self):
+        # tgt padding rows are at the origin; a src point at the origin must
+        # not match them.
+        src = np.array([[0.0, 0.0, 0.0]], np.float32)
+        s, sv = pad_cloud(src, 2)
+        t, tv = pad_cloud(np.zeros((0, 3), np.float32), 4)
+        hits = np.asarray(P.any_within_radius(s, sv, t, tv, 10.0))
+        assert not hits.any()
+
+    def test_min_dist_sq(self):
+        src = np.array([[0, 0, 0], [3, 0, 0]], np.float32)
+        tgt = np.array([[1, 0, 0]], np.float32)
+        s, sv = pad_cloud(src, 2)
+        t, tv = pad_cloud(tgt, 2)
+        d = np.asarray(P.min_dist_sq(s, sv, t, tv))
+        np.testing.assert_allclose(d, [1.0, 4.0], rtol=1e-6)
+
+    def test_blocking_invariance(self):
+        rng = np.random.default_rng(2)
+        src = rng.normal(size=(37, 3)).astype(np.float32)
+        tgt = rng.normal(size=(53, 3)).astype(np.float32)
+        s, sv = pad_cloud(src, 40)
+        t, tv = pad_cloud(tgt, 60)
+        a = np.asarray(P.any_within_radius(s, sv, t, tv, 0.5, block=8))
+        b = np.asarray(P.any_within_radius(s, sv, t, tv, 0.5, block=64))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestOverlap:
+    def test_identical_clouds_full_overlap(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+        p, v = pad_cloud(pts, 256)
+        ov1, ov2 = P.overlap_ratio(p, v, p, v, voxel_size=0.05)
+        assert float(ov1) == 1.0 and float(ov2) == 1.0
+
+    def test_disjoint_clouds_zero_overlap(self):
+        rng = np.random.default_rng(4)
+        a = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+        b = a + 100.0
+        pa, va = pad_cloud(a, 128)
+        pb, vb = pad_cloud(b, 128)
+        ov1, ov2 = P.overlap_ratio(pa, va, pb, vb, voxel_size=0.05)
+        assert float(ov1) == 0.0 and float(ov2) == 0.0
+
+    def test_empty_cloud_gives_nan(self):
+        # matches the reference's 0/0 -> NaN, filtered by generate_gt
+        pa, va = pad_cloud(np.zeros((0, 3), np.float32), 8)
+        pb, vb = pad_cloud(np.ones((5, 3), np.float32), 8)
+        ov1, _ = P.overlap_ratio(pa, va, pb, vb)
+        assert np.isnan(float(ov1))
+
+    def test_half_overlap(self):
+        # two unit segments sharing half their extent
+        xs = np.linspace(0, 1.0, 101, dtype=np.float32)
+        a = np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], -1)
+        b = a.copy()
+        b[:, 0] += 0.5
+        pa, va = pad_cloud(a, 128)
+        pb, vb = pad_cloud(b, 128)
+        ov1, ov2 = P.overlap_ratio(
+            pa, va, pb, vb, voxel_size=0.025, downsample=True)
+        assert 0.4 < float(ov1) < 0.65
+        assert 0.4 < float(ov2) < 0.65
+
+
+class TestCropBbox:
+    def test_mask(self):
+        pts = jnp.asarray(
+            np.array([[0, 0, 1], [5, 0, 1], [0, 0, 9]], np.float32))
+        valid = jnp.ones((3,), bool)
+        m = P.crop_bbox(pts, valid, (-1.5, -1.5, 0.5), (1.5, 1.5, 3.5))
+        np.testing.assert_array_equal(np.asarray(m), [True, False, False])
+
+
+class TestCorrespondences:
+    def test_pairs_within_radius(self):
+        src = np.array([[0, 0, 0], [1, 0, 0]], np.float64)
+        tgt = np.array([[0.02, 0, 0], [1.01, 0, 0], [9, 9, 9]], np.float64)
+        pairs = P.correspondences_np(src, tgt, np.eye(4), 0.05)
+        got = set(map(tuple, pairs.tolist()))
+        assert got == {(0, 0), (1, 1)}
+
+    def test_transform_applied_to_src(self):
+        src = np.array([[1.0, 0, 0]])
+        tgt = np.array([[0.0, 1.0, 0]])
+        rot = np.eye(4)
+        rot[:3, :3] = S.euler_xyz_intrinsic_to_matrix(
+            jnp.asarray([0.0, 0.0, np.pi / 2]))
+        pairs = P.correspondences_np(src, tgt, rot, 1e-3)
+        assert pairs.shape[0] == 1
+
+
+class TestSampling:
+    def test_euler_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.default_rng(5)
+        ang = rng.uniform(-np.pi, np.pi, size=(10, 3))
+        ours = np.asarray(S.euler_xyz_intrinsic_to_matrix(jnp.asarray(ang)))
+        ref = Rotation.from_euler("XYZ", ang).as_matrix()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_random_pose_properties(self):
+        import jax
+
+        key = jax.random.PRNGKey(0)
+        pose = np.asarray(S.random_sample_pose(key, 16))
+        assert pose.shape == (16, 4, 4)
+        # rotations orthonormal
+        rr = pose[:, :3, :3] @ np.transpose(pose[:, :3, :3], (0, 2, 1))
+        np.testing.assert_allclose(rr, np.tile(np.eye(3), (16, 1, 1)),
+                                   atol=1e-5)
+        # pivot invariant: R @ c + t has z == 3 when random z-trans is 0.
+        c = np.array([0.0, 0.0, 3.0])
+        moved = pose[:, :3, :3] @ c + pose[:, :3, 3]
+        np.testing.assert_allclose(moved[:, 2], 3.0, atol=0.5)
+
+    def test_random_transform_zero_translation(self):
+        import jax
+
+        key = jax.random.PRNGKey(1)
+        intr = S.random_sample_intrinsic(key, 8)
+        pose = np.asarray(S.random_sample_transform(key, intr))
+        np.testing.assert_allclose(pose[:, :3, 3], 0.0)
+
+    def test_haar_rotation_uniformity_basic(self):
+        import jax
+
+        rot = np.asarray(S.haar_uniform_rotation(jax.random.PRNGKey(2), 32))
+        dets = np.linalg.det(rot)
+        np.testing.assert_allclose(dets, 1.0, atol=1e-5)
+
+    def test_intrinsic_candidates(self):
+        import jax
+
+        k = np.asarray(S.random_sample_intrinsic(jax.random.PRNGKey(3), 64))
+        # every sample is one of the 6 candidates
+        cands = S.INTRINSIC_CANDIDATES
+        for ki in k:
+            assert any(np.allclose(ki, c) for c in cands)
