@@ -65,16 +65,30 @@ def center_crop(img: np.ndarray, size: int) -> np.ndarray:
 def load_depth_model_space(
     path: Union[str, os.PathLike],
     image_size: int,
+    *,
+    flip: bool = False,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Load a 3DMatch depth PNG into model space: (h, w) float32 in [0, 1].
 
     Pipeline (reference sdd:1550-1554, 2356-2361, 2458-2459): NEAREST resize
     short side -> image_size, center crop, scale raw mm by 1e-4 so 1.0 ==
-    10 m, clip values above 1 to 0 (invalid).
+    10 m, clip values above 1 to 0 (invalid), optional horizontal flip.
+
+    The resize/crop/scale runs through the native C++ kernel when the
+    library is built (bit-identical to the Python path; tests/test_native.py),
+    falling back to PIL/numpy otherwise.
     """
     raw = read_depth_png(path)
+    if use_native and raw.dtype == np.uint16:
+        from pointreggpt_tpu import native
+
+        if native.is_available():
+            return native.depth_preprocess(raw, image_size, flip=flip)
     raw = resize_nearest_short_side(raw, image_size)
     raw = center_crop(raw, image_size)
     depth = raw.astype(np.float32) * 1e-4
     depth = np.where(depth > 1.0, 0.0, depth)
+    if flip:
+        depth = depth[:, ::-1].copy()
     return depth

@@ -1,0 +1,269 @@
+"""Host-side dataset pipelines feeding the device (L5 of SURVEY.md §1).
+
+Numpy/PIL reimplementations of the reference's torch Datasets with the same
+on-disk contracts:
+
+- :class:`DepthDataset` — diffusion training frames listed in
+  ``dataset/3DMatch/metadata/gt.log`` (one relative depth-PNG path per line),
+  plus per-scene ``camera-intrinsics.txt``. Reference: sdd:1514-1567.
+- :class:`PairedDepthDataset` — depth-correction supervised pairs from
+  ``metadata/{train,val}.json``. Reference: dc:910-951.
+- :class:`TestDataset` — realistic depth-correction inputs built from
+  3DMatch test pairs (``.pkl`` metadata + per-fragment ``.info.txt``).
+  Reference: dc:954-1069.
+
+Batches are dicts of stacked numpy arrays (the reference's collate_func,
+sdd:311-322) produced by a background-thread prefetcher that overlaps PNG
+decoding with device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from pointreggpt_tpu.core import imageio16
+from pointreggpt_tpu.core.geometry import intrinsic_transform
+
+
+class DepthDataset:
+    """Diffusion training set: single depth frames + intrinsics.
+
+    Args:
+        folder: 3DMatch-RGBD train root (scene dirs with seq subdirs).
+        image_size: model resolution (256).
+        gt_log: frame list file; defaults to the reference's hard-coded
+            ``./dataset/3DMatch/metadata/gt.log`` (sdd:1524).
+        augment_horizontal_flip: random h-flip (applied by the loader).
+    """
+
+    def __init__(self,
+                 folder: str,
+                 image_size: int,
+                 *,
+                 gt_log: str = "./dataset/3DMatch/metadata/gt.log",
+                 augment_horizontal_flip: bool = False):
+        self.folder = folder
+        self.image_size = image_size
+        self.augment_horizontal_flip = augment_horizontal_flip
+        self.paths: List[Path] = []
+        with open(gt_log, "r") as f:
+            for line in f.readlines():
+                line = line.strip()
+                if line:
+                    self.paths.append(Path(folder, line))
+        self._intrinsic_cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _scene_intrinsic(self, path: Path) -> np.ndarray:
+        scene_path = path.parent.parent
+        key = str(scene_path)
+        if key not in self._intrinsic_cache:
+            intrinsic = np.loadtxt(Path(scene_path, "camera-intrinsics.txt"))
+            self._intrinsic_cache[key] = intrinsic_transform(
+                intrinsic, resize=self.image_size,
+                centercrop=self.image_size).astype(np.float32)
+        return self._intrinsic_cache[key]
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        path = self.paths[index]
+        flip = self.augment_horizontal_flip and np.random.rand() < 0.5
+        img = imageio16.load_depth_model_space(path, self.image_size,
+                                               flip=flip)
+        return {
+            "img": img[..., None],  # (h, w, 1) NHWC
+            "intrinsic": self._scene_intrinsic(path),
+        }
+
+
+class PairedDepthDataset:
+    """Depth-correction pairs: {input, label, |label-input|<0.005 mask}."""
+
+    def __init__(self, folder: str, subset: str, image_size: int):
+        self.folder = folder
+        self.image_size = image_size
+        json_file = os.path.join(folder, f"metadata/{subset}.json")
+        with open(json_file, "r") as f:
+            self.metadata = list(json.load(f))
+
+    def __len__(self) -> int:
+        return len(self.metadata)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        meta = self.metadata[index]
+        input_path = os.path.join(self.folder, "data", meta["input_path"])
+        label_path = os.path.join(self.folder, "data", meta["label_path"])
+
+        def load(p):
+            raw = imageio16.read_depth_png(p).astype(np.float32) * 1e-4
+            return np.where(raw > 1.0, 0.0, raw)
+
+        input_img = load(input_path)
+        label_img = load(label_path)
+        mask = (np.abs(label_img - input_img) < 0.005).astype(np.float32)
+        return {
+            "input_img": input_img[..., None],
+            "label_img": label_img[..., None],
+            "mask": mask[..., None],
+        }
+
+
+class TestDataset:
+    """Depth-correction test inputs from real 3DMatch test pairs.
+
+    For each (src, tgt) fragment pair: load the first frames, compute
+    relative_pose = inv(tgt_pose) @ src_pose, re-project src into the tgt
+    view, mask to mutually-valid pixels. The re-projection itself runs on
+    device via ``core.geometry.reproject`` at fetch time.
+    Reference: dc:954-1069 (index >= len/2 swaps src/tgt).
+    """
+
+    def __init__(self, info: Dict[str, Sequence[str]], folder: str,
+                 image_size: int, *, data_root: str = "./dataset/indoor/data"):
+        self.info = info
+        self.folder = folder
+        self.image_size = image_size
+        self.data_root = data_root
+
+    def __len__(self) -> int:
+        return len(self.info["src"]) + len(self.info["tgt"])
+
+    def _frame_record(self, rel_path: str):
+        info_path = os.path.join(self.data_root,
+                                 rel_path.replace(".pth", ".info.txt"))
+        with open(info_path, "r") as f:
+            first = f.readlines()[0].strip()
+        scene_name, seq_name, frame_start_idx, _ = first.split()
+        scene_path = os.path.join(self.folder, scene_name)
+        frame_path = os.path.join(
+            scene_path, seq_name,
+            "frame-{:0>6d}.depth.png".format(int(frame_start_idx)))
+        image = imageio16.load_depth_model_space(frame_path, self.image_size)
+        pose = np.loadtxt(frame_path.replace("depth.png", "pose.txt"))
+        intrinsic = intrinsic_transform(
+            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
+            resize=self.image_size, centercrop=self.image_size,
+        ).astype(np.float32)
+        return image, pose, intrinsic
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        from pointreggpt_tpu.core.geometry import reproject
+
+        half = len(self) // 2
+        if (index // half) % 2 == 0:
+            src_rel = self.info["src"][index % half]
+            tgt_rel = self.info["tgt"][index % half]
+        else:
+            src_rel = self.info["tgt"][index % half]
+            tgt_rel = self.info["src"][index % half]
+
+        src_image, src_pose, intrinsic = self._frame_record(src_rel)
+        tgt_image, tgt_pose, _ = self._frame_record(tgt_rel)
+
+        relative_pose = (np.linalg.inv(tgt_pose) @ src_pose).astype(np.float32)
+
+        depth_rpj, mask_rpj = reproject(
+            jnp.asarray(src_image[None] * 10.0), jnp.asarray(intrinsic[None]),
+            jnp.asarray(relative_pose[None]))
+        input_img = np.asarray(depth_rpj)[0] * 0.1
+        input_mask = np.asarray(mask_rpj)[0]
+
+        label_img = tgt_image
+        mutual = input_mask & (label_img > 0)
+        input_img = np.where(mutual, input_img, 0.0).astype(np.float32)
+        label_img = np.where(mutual, label_img, 0.0).astype(np.float32)
+        return {
+            "input_img": input_img[..., None],
+            "label_img": label_img[..., None],
+        }
+
+
+def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of example dicts into a batch dict (sdd:311-322)."""
+    out: Dict[str, List[np.ndarray]] = {}
+    for item in items:
+        for k, v in item.items():
+            out.setdefault(k, []).append(v)
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+class PrefetchLoader:
+    """Shuffling (optionally infinite) batch iterator with thread prefetch.
+
+    Replaces the torch DataLoader + ``cycle`` combo (sdd:1639-1647):
+    worker threads decode PNGs while the device trains on the previous batch.
+    """
+
+    def __init__(self,
+                 dataset,
+                 batch_size: int,
+                 *,
+                 shuffle: bool = True,
+                 drop_last: bool = True,
+                 infinite: bool = False,
+                 num_workers: int = 2,
+                 prefetch: int = 2,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        if drop_last and len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset has {len(dataset)} examples < batch_size "
+                f"{batch_size} with drop_last=True: no batch can be formed")
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n //
+                                                             self.batch_size)
+
+    def _index_batches(self) -> Iterator[List[int]]:
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        while True:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(idx)
+            stop = (len(idx) // self.batch_size *
+                    self.batch_size if self.drop_last else len(idx))
+            for s in range(0, stop, self.batch_size):
+                yield list(idx[s:s + self.batch_size])
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch_idx in self._index_batches():
+                    items = [self.dataset[i] for i in batch_idx]
+                    q.put(collate(items))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item

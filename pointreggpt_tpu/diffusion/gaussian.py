@@ -378,3 +378,40 @@ class GaussianDiffusion:
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(params, key, param_cond, img_cond, shape,
                   has_refine_step=has_refine_step, is_denoise=True)
+
+    def interpolate(self, params, key: Array, x1: Array, x2: Array,
+                    param_cond: Array, *, t: Optional[int] = None,
+                    lam: float = 0.5) -> Array:
+        """Spherical-ish latent interpolation between two images.
+
+        Diffuse both to step ``t``, lerp, then run the ancestral chain back
+        down. The reference version (sdd:1429-1446) is dead code with a
+        broken ``p_sample`` signature; this is the working equivalent,
+        expressed as a single ``lax.scan``.
+
+        Args:
+            x1, x2: (b, h, w, c) images in [-1, 1] space.
+
+        Returns:
+            (b, h, w, c) interpolated images in [-1, 1] space.
+        """
+        assert x1.shape == x2.shape
+        t = self.num_timesteps - 1 if t is None else int(t)
+        b = x1.shape[0]
+        k_n1, k_n2, k_scan = jax.random.split(key, 3)
+        tb = jnp.full((b,), t, jnp.int32)
+        xt1 = self.q_sample(x1, tb, jax.random.normal(k_n1, x1.shape))
+        xt2 = self.q_sample(x2, tb, jax.random.normal(k_n2, x2.shape))
+        img = (1 - lam) * xt1 + lam * xt2
+
+        ts = jnp.arange(t - 1, -1, -1)
+        keys = jax.random.split(k_scan, max(t, 1))[:max(t, 1)]
+
+        def body(x, inp):
+            t_scalar, k = inp
+            x, _ = self._p_sample_step(params, x, t_scalar, param_cond, None,
+                                       k, False, False)
+            return x, None
+
+        img, _ = jax.lax.scan(body, img, (ts, keys[:ts.shape[0]]))
+        return img

@@ -1,0 +1,359 @@
+"""Generator: the production dataset factory (SURVEY.md §3.3).
+
+Reference: Generator sdd:2250-2694. For each scene drawn from the 3DMatch
+``train_info.pkl`` pair pool: read the real source depth frame, crop to the
+bbox [-1.5,-1.5,0.5]..[1.5,1.5,3.5], seed the *scene memory* cloud; then for
+each sample: random SE(3) pose -> z-buffer splat of the memory cloud ->
+depth-correction mask #1 (threshold 0.99 zeroes penetrating pixels) ->
+DDNM diffusion sampling -> depth-correction pass #2 -> write pose/image/
+depth/PLY outputs and fold the new frame back into the memory at voxel
+0.002.
+
+TPU redesign vs the reference's host ping-pong (its main throughput limiter,
+SURVEY.md §3.3): all scenes of a batch advance together through ONE jitted
+device program per sample step (batched splat + MaskUNet + the whole DDNM
+chain + memory voxel maintenance); the host only does PNG/PLY writes and the
+resume probing. Scene-range sharding across hosts keeps the reference's
+``-start/-stop`` contract.
+
+Output contract (unchanged, consumed by the example dataloaders):
+``scene-%06d/{camera-intrinsics.txt, sample-%06d.pose.txt,
+sample-%06d.image.png, sample-%06d.depth.png, sample-%06d.cloud.ply}``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.core import geometry as G
+from pointreggpt_tpu.core import imageio16, plyio
+from pointreggpt_tpu.core import pointops as P
+from pointreggpt_tpu.core import sampling as S
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.train import checkpoint as ckpt
+
+BBOX_MIN = (-1.5, -1.5, 0.5)
+BBOX_MAX = (1.5, 1.5, 3.5)
+TRAIN_POOL = 20642  # reference pair-pool size (sdd:2397)
+
+
+class Generator:
+    """Batched scene generator.
+
+    Args:
+        model: DiffusionUNet (apply bound into ``diffusion``).
+        diffusion: the sampling process (250-step DDIM+DDNM in production).
+        folder: 3DMatch-RGBD train root (scene dirs with camera-intrinsics).
+        depth_correction_model: optional MaskUNet for artifact removal.
+        memory_capacity: padded scene-memory size per scene.
+    """
+
+    def __init__(self,
+                 model,
+                 diffusion: GaussianDiffusion,
+                 folder: str,
+                 *,
+                 batch_size: int = 16,
+                 results_folder: str = "./results",
+                 samples_folder: str = "./samples",
+                 depth_correction_model=None,
+                 depth_correction_results: str = "./depth_correction_results",
+                 train_info_path: str = "./dataset/indoor/metadata/train_info.pkl",
+                 data_root: str = "./dataset/indoor/data",
+                 memory_capacity: int = 1 << 18,
+                 seed: int = 0):
+        self.model = model
+        self.diffusion = diffusion
+        self.folder = folder
+        self.batch_size = batch_size
+        self.image_size = diffusion.image_size
+        self.results_folder = Path(results_folder)
+        self.samples_folder = Path(samples_folder)
+        self.samples_folder.mkdir(parents=True, exist_ok=True)
+        self.depth_correction_model = depth_correction_model
+        self.depth_correction_results = Path(depth_correction_results)
+        self.train_info_path = train_info_path
+        self.data_root = data_root
+        self.memory_capacity = memory_capacity
+        self.seed = seed
+        self.ema_params = None
+        self.dc_params = None
+
+    # ------------------------------------------------------------------
+    def load(self, milestone) -> None:
+        """Load the diffusion EMA checkpoint (sdd:2307-2324)."""
+        dummy = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.image_size, self.image_size,
+                       self.diffusion.channels)), jnp.zeros((1,)),
+            jnp.zeros((1, 4)))
+        target_params = jax.tree_util.tree_map(np.asarray, dummy)
+        state, meta = ckpt.load_checkpoint(
+            self.results_folder / f"model-{milestone}.ckpt",
+            {"params": target_params,
+             "ema": {"params": target_params, "step": 0, "initted": False}})
+        self.ema_params = state["ema"]["params"]
+        if meta.get("version"):
+            print(f"loading from version {meta['version']}")
+
+    def _load_depth_correction(self) -> None:
+        """Load depth-correction model-best (sdd:2339-2346)."""
+        if self.depth_correction_model is None:
+            return
+        dummy = self.depth_correction_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.image_size, self.image_size, 1)))
+        state, _ = ckpt.load_checkpoint(
+            self.depth_correction_results / "model-best.ckpt",
+            {"epoch": 0,
+             "params": jax.tree_util.tree_map(np.asarray, dummy)})
+        self.dc_params = state["params"]
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self, has_refine_step: bool, memory_voxel: float):
+        """One fused device program advancing a whole batch by one sample."""
+        H = self.image_size
+        diffusion = self.diffusion
+        dc_model = self.depth_correction_model
+        cap = self.memory_capacity
+
+        def step(ema_params, dc_params, mem_pts, mem_valid, intrinsic,
+                 param_cond, key):
+            k_pose, k_sample = jax.random.split(key)
+            b = mem_pts.shape[0]
+            pose = S.random_sample_pose(k_pose, b)
+
+            # splat the transformed memory cloud (batched; the reference
+            # loops scenes on host here, sdd:2531-2547)
+            pts = G.transform_points(mem_pts, pose)
+            depth_rpj, mask_rpj = G.points_to_depth(
+                pts, mem_valid, intrinsic, image_size=(H, H))
+            images_rpj = depth_rpj * 0.1  # meters -> [0,1] model units
+
+            # depth correction #1 (sdd:2563-2567)
+            if dc_model is not None:
+                prob = dc_model.apply(dc_params, images_rpj[..., None])
+                keep = prob[..., 0] > 0.99
+                images_rpj = jnp.where(keep, images_rpj, 0.0)
+                mask_rpj = mask_rpj & keep
+
+            img_cond = G.normalize_to_neg_one_to_one(
+                jnp.stack(
+                    [images_rpj, mask_rpj.astype(jnp.float32)], axis=-1))
+
+            images = diffusion.sample(
+                ema_params, k_sample, param_cond=param_cond,
+                img_cond=img_cond, has_refine_step=has_refine_step)
+
+            # depth correction #2 (sdd:2578-2581)
+            if dc_model is not None:
+                prob2 = dc_model.apply(dc_params, images)
+                images = jnp.where(prob2 > 0.99, images, 0.0)
+
+            # back-project new frame to world: p' = R^T (p - t) (sdd:2627)
+            new_pts, new_valid = G.depth_to_points(
+                images[..., 0] * 10.0, intrinsic, clip=(0.5, 10.0))
+            rot = pose[:, :3, :3]
+            t = pose[:, :3, 3]
+            world = jnp.einsum("bji,bnj->bni", rot, new_pts - t[:, None, :],
+                               precision=jax.lax.Precision.HIGHEST)
+
+            # fold into scene memory at the memory voxel (sdd:2660-2680)
+            merged = jnp.concatenate([mem_pts, world], axis=1)
+            merged_valid = jnp.concatenate([mem_valid, new_valid], axis=1)
+            down, down_valid = jax.vmap(
+                lambda p, v: P.voxel_downsample(p, v, memory_voxel))(
+                    merged, merged_valid)
+            mem_pts_new = down[:, :cap]
+            mem_valid_new = down_valid[:, :cap]
+
+            return (pose, images_rpj, images, world, new_valid, mem_pts_new,
+                    mem_valid_new)
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def _read_scene_record(self, rel_path: str):
+        """Resolve a train_info fragment record to (depth01, intrinsic)."""
+        info_path = os.path.join(self.data_root,
+                                 rel_path.replace(".pth", ".info.txt"))
+        with open(info_path, "r") as f:
+            first = f.readlines()[0].strip()
+        scene_name, seq_name, frame_start_idx, _ = first.split()
+        scene_path = os.path.join(self.folder, scene_name)
+        intrinsic = G.intrinsic_transform(
+            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
+            resize=self.image_size, centercrop=self.image_size,
+        ).astype(np.float32)
+        frame_path = os.path.join(
+            scene_path, seq_name,
+            "frame-{:0>6d}.depth.png".format(int(frame_start_idx)))
+        depth01 = imageio16.load_depth_model_space(frame_path,
+                                                   self.image_size)
+        return depth01, intrinsic
+
+    def _scene_source(self, info_train: Dict, abs_scene_idx: int):
+        """src/tgt swap by scene index (sdd:2396-2410)."""
+        pool = len(info_train["src"])
+        if (abs_scene_idx // pool) % 2 == 0:
+            return info_train["src"][abs_scene_idx % pool]
+        return info_train["tgt"][abs_scene_idx % pool]
+
+    # ------------------------------------------------------------------
+    def generate(self,
+                 start_scene_index: int,
+                 stop_scene_index: int,
+                 num_samples: int,
+                 *,
+                 memory_voxel_size: float = 0.002,
+                 save_voxel_size: float = 0.025,
+                 has_refine_step: bool = True,
+                 info_train: Optional[Dict] = None,
+                 verbose: bool = True) -> None:
+        """Generate scenes [start, stop) with ``num_samples`` frames each."""
+        H = self.image_size
+        cap = self.memory_capacity
+        self._load_depth_correction()
+        assert self.ema_params is not None, "call load() first"
+
+        if info_train is None:
+            with open(self.train_info_path, "rb") as f:
+                info_train = pickle.load(f)
+
+        step_fn = self._build_step_fn(has_refine_step, memory_voxel_size)
+        key = jax.random.PRNGKey(self.seed + start_scene_index)
+
+        scene_indices = list(range(start_scene_index, stop_scene_index))
+        for chunk_start in range(0, len(scene_indices), self.batch_size):
+            chunk = scene_indices[chunk_start:chunk_start + self.batch_size]
+            batch = len(chunk)
+
+            # resume: skip a fully-written chunk (sdd:2370-2381)
+            probe = self.samples_folder / \
+                "scene-{:0>6d}/sample-{:0>6d}.cloud.ply".format(
+                    chunk[-1], num_samples // 2)
+            if probe.is_file():
+                if verbose:
+                    print("Skip completed scenes "
+                          f"{chunk[0]:0>6d} - {chunk[-1]:0>6d}.")
+                continue
+
+            intrinsic = np.zeros((batch, 3, 3), np.float32)
+            mem_pts = np.zeros((batch, cap, 3), np.float32)
+            mem_valid = np.zeros((batch, cap), bool)
+            fragment_clouds = [None] * batch
+            fragment_poses = [None] * batch
+
+            # --- per-scene host setup: real frame -> memory seed ---------
+            for i, sid in enumerate(chunk):
+                scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
+                if scene_dir.exists():
+                    shutil.rmtree(scene_dir, ignore_errors=True)
+                scene_dir.mkdir(parents=True, exist_ok=True)
+
+                rel = self._scene_source(info_train, sid)
+                depth01, intr = self._read_scene_record(rel)
+                intrinsic[i] = intr
+                np.savetxt(scene_dir / "camera-intrinsics.txt", intr)
+
+                # save the real frame image (sample 0)
+                from PIL import Image
+                Image.fromarray(
+                    (np.clip(depth01, 0, 1) * 255).astype(np.uint8)).save(
+                        scene_dir / "sample-000000.image.png")
+
+                pc = G.point_cloud_np(depth01 * 10.0, intr, clip=(0.5, 10.0))
+                inside = np.all((pc >= BBOX_MIN) & (pc <= BBOX_MAX), axis=-1)
+                pc = pc[inside]
+                n = min(pc.shape[0], cap)
+                mem_pts[i, :n] = pc[:n]
+                mem_valid[i, :n] = True
+
+                # sample-000000.cloud.ply: crop + voxel 0.025 (sdd:2492-2500)
+                pj, vj = P.voxel_downsample(
+                    jnp.asarray(mem_pts[i]), jnp.asarray(mem_valid[i]),
+                    save_voxel_size)
+                plyio.write_ply(scene_dir / "sample-000000.cloud.ply",
+                                np.asarray(pj)[np.asarray(vj)])
+
+            mem_pts_j = jnp.asarray(mem_pts)
+            mem_valid_j = jnp.asarray(mem_valid)
+            intr_j = jnp.asarray(intrinsic)
+            param_cond = G.param_vector(intr_j)
+
+            # --- successive conditional generation ----------------------
+            for sample_idx in range(num_samples):
+                key, sub = jax.random.split(key)
+                (pose, images_rpj, images, world, world_valid, mem_pts_j,
+                 mem_valid_j) = step_fn(self.ema_params, self.dc_params,
+                                        mem_pts_j, mem_valid_j, intr_j,
+                                        param_cond, sub)
+
+                pose_np = np.asarray(pose)
+                images_np = np.asarray(images)
+                images_rpj_np = np.asarray(images_rpj)
+                world_np = np.asarray(world)
+                world_valid_np = np.asarray(world_valid)
+
+                for i, sid in enumerate(chunk):
+                    scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
+                    out_idx = sample_idx + 1
+
+                    # pose (inverse, sdd:2593-2594)
+                    np.savetxt(scene_dir / f"sample-{out_idx:0>6d}.pose.txt",
+                               np.linalg.inv(pose_np[i]))
+                    # debug snapshots (reprojected/corrected, sdd:2554-2602)
+                    from PIL import Image
+                    Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
+                                     255).astype(np.uint8)).save(
+                                         scene_dir / "reprojected.image.png")
+                    img01 = images_np[i, ..., 0]
+                    Image.fromarray(
+                        (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
+                            scene_dir / f"sample-{out_idx:0>6d}.image.png")
+                    imageio16.write_depth_png(
+                        scene_dir / f"sample-{out_idx:0>6d}.depth.png", img01)
+
+                    # accumulate the fragment cloud in world frame
+                    # (clip 0.5..10 like the reference PLY path, sdd:2623)
+                    wp = world_np[i][world_valid_np[i]]
+                    if sample_idx == 0:
+                        fragment_clouds[i] = wp
+                        fragment_poses[i] = pose_np[i]
+                    else:
+                        fragment_clouds[i] = np.concatenate(
+                            [fragment_clouds[i], wp], axis=0)
+
+                    if sample_idx == num_samples - 1:
+                        frag = fragment_clouds[i]
+                        fpose = fragment_poses[i]
+                        # to the first-sample camera frame, crop, voxel,
+                        # back to world (sdd:2640-2658)
+                        cam = frag @ fpose[:3, :3].T + fpose[:3, 3]
+                        inside = np.all(
+                            (cam >= BBOX_MIN) & (cam <= BBOX_MAX), axis=-1)
+                        cam = cam[inside].astype(np.float32)
+                        if cam.shape[0]:
+                            pj, vj = P.voxel_downsample(
+                                jnp.asarray(cam),
+                                jnp.ones((cam.shape[0],), bool),
+                                save_voxel_size)
+                            down = np.asarray(pj)[np.asarray(vj)]
+                            inv = np.linalg.inv(fpose)
+                            down = down @ inv[:3, :3].T + inv[:3, 3]
+                        else:
+                            down = cam
+                        plyio.write_ply(
+                            scene_dir / "sample-000001.cloud.ply", down)
+
+                if verbose:
+                    print(f"scenes {chunk[0]}-{chunk[-1]}: "
+                          f"{sample_idx + 1}/{num_samples}")

@@ -1,0 +1,171 @@
+"""gt.log generation: pairwise overlap ratios over generated PLY fragments.
+
+Reference: generate_gt.py:1-195 — for every scene, every pair of sample
+clouds: skip <1000 points, compute bidirectional overlap (voxel 0.025,
+radius x1.5), keep pairs with max overlap >= 0.1 and no NaN, write the
+per-scene TSV ``gt.log``, then concatenate into ``metadata/gt.log``.
+
+The reference's per-point KD-tree Python loops (its hottest CPU path,
+SURVEY.md §3.4) are replaced by one jitted device program per pair
+(:func:`pointreggpt_tpu.core.pointops.overlap_ratio`), padded to a fixed
+capacity bucket so XLA compiles a handful of shapes, not one per cloud.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from itertools import combinations
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.core import plyio
+from pointreggpt_tpu.core import pointops as P
+
+MIN_POINTS = 1000
+MIN_OVERLAP = 0.1
+
+
+@lru_cache(maxsize=8)
+def _overlap_fn(capacity: int, voxel_size: float, overlap_factor: float):
+    @jax.jit
+    def fn(pc1, valid1, pc2, valid2):
+        return P.overlap_ratio(pc1, valid1, pc2, valid2,
+                               voxel_size=voxel_size,
+                               overlap_factor=overlap_factor)
+
+    return fn
+
+
+def _pad_to_bucket(points: np.ndarray, capacity: int):
+    n = points.shape[0]
+    out = np.zeros((capacity, 3), np.float32)
+    out[:n] = points[:capacity]
+    valid = np.zeros((capacity,), bool)
+    valid[:min(n, capacity)] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+def _bucket(n: int) -> int:
+    """Round cloud size up to a power-of-two bucket (bounded compile count)."""
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def compute_overlap_ratio_np(
+    pc1: np.ndarray,
+    pc2: np.ndarray,
+    *,
+    voxel_size: float = 0.025,
+    overlap_factor: float = 1.5,
+) -> Tuple[float, float]:
+    """Bidirectional overlap between two host clouds (device-accelerated).
+
+    Reference: compute_overlap_ratio generate_gt.py:68-102.
+    """
+    cap = _bucket(max(pc1.shape[0], pc2.shape[0], 1))
+    p1, v1 = _pad_to_bucket(pc1, cap)
+    p2, v2 = _pad_to_bucket(pc2, cap)
+    ov1, ov2 = _overlap_fn(cap, voxel_size, overlap_factor)(p1, v1, p2, v2)
+    return float(ov1), float(ov2)
+
+
+def generate_gt(dataset_name: str,
+                start_scene_index: int,
+                stop_scene_index: int,
+                num_samples: int,
+                *,
+                root: Optional[str] = None,
+                verbose: bool = True) -> None:
+    """Write per-scene gt.log files (TSV: scene, src, tgt, ov_src, ov_tgt).
+
+    Skips scenes whose gt.log already exists (crash-resume idempotence,
+    generate_gt.py:126-128).
+    """
+    root_path = Path(root or f"./{dataset_name}/data")
+
+    for scene_idx in range(start_scene_index, stop_scene_index):
+        scene_name = "scene-{:0>6d}".format(scene_idx)
+        scene_path = root_path / scene_name
+        gt_path = scene_path / "gt.log"
+
+        if gt_path.exists():
+            if verbose:
+                print("scene gt log has existed, skip over it")
+            continue
+
+        gt_infos: List[str] = []
+        for src_idx, tgt_idx in combinations(range(num_samples), 2):
+            src_path = scene_path / "sample-{:0>6d}.cloud.ply".format(src_idx)
+            tgt_path = scene_path / "sample-{:0>6d}.cloud.ply".format(tgt_idx)
+            if not (src_path.exists() and tgt_path.exists()):
+                continue
+
+            src = plyio.read_ply(src_path).astype(np.float32)
+            tgt = plyio.read_ply(tgt_path).astype(np.float32)
+            if src.shape[0] < MIN_POINTS or tgt.shape[0] < MIN_POINTS:
+                continue
+
+            ov_src, ov_tgt = compute_overlap_ratio_np(src, tgt)
+            if verbose:
+                print(f"{scene_name} src:{src_idx:0>2d} tgt:{tgt_idx:0>2d} "
+                      f"ov_src:{ov_src:.3f} ov_tgt:{ov_tgt:.3f}")
+            if np.isnan(ov_src) or np.isnan(ov_tgt):
+                continue
+            if ov_src < MIN_OVERLAP and ov_tgt < MIN_OVERLAP:
+                continue
+
+            gt_infos.append("{}\t{}\t{}\t{:.4f}\t{:.4f}\n".format(
+                scene_name, src_idx, tgt_idx, ov_src, ov_tgt))
+
+        gt_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(gt_path, "w") as f:
+            f.writelines(gt_infos)
+
+
+def gather_gt(dataset_name: str,
+              start_index: int,
+              stop_index: int,
+              *,
+              root: Optional[str] = None,
+              metadata: Optional[str] = None) -> None:
+    """Concatenate per-scene gt.log files into metadata/gt.log.
+
+    Reference: gather_gt generate_gt.py:177-188 (without the shell ``cat``).
+    """
+    root_path = Path(root or f"./{dataset_name}/data")
+    final_gt_path = Path(metadata or f"./{dataset_name}/metadata/gt.log")
+    final_gt_path.parent.mkdir(parents=True, exist_ok=True)
+    if final_gt_path.exists():
+        os.remove(final_gt_path)
+
+    with open(final_gt_path, "w") as out:
+        for scene_idx in range(start_index, stop_index):
+            scene_gt = root_path / "scene-{:0>6d}".format(scene_idx) / "gt.log"
+            if scene_gt.exists():
+                out.write(scene_gt.read_text())
+
+
+def parse_gt_log(path) -> List[dict]:
+    """Parse a gt.log TSV into record dicts (the example dataloaders'
+    contract: mixture.py:72-78, geotrans/dataset.py:77-95)."""
+    records = []
+    with open(path, "r") as f:
+        for line in f.readlines():
+            if not line.strip():
+                continue
+            scene_name, src_idx, tgt_idx, ov_src, ov_tgt = line.split("\t")
+            records.append({
+                "scene_name": scene_name,
+                "src_idx": int(src_idx),
+                "tgt_idx": int(tgt_idx),
+                "overlap_src": float(ov_src),
+                "overlap_tgt": float(ov_tgt),
+            })
+    return records

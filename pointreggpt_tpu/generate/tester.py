@@ -1,0 +1,290 @@
+"""Qualitative sampling driver (Tester): successive scene synthesis.
+
+Reference: Tester sdd:1829-2247.
+- ``sample``: unconditional first frame, then successive frames under a
+  fixed forward motion (t = [0, 0, 0.5]); saves per-step triptych PNGs
+  (previous | reprojected | generated) and per-sample PLYs in the
+  accumulated world frame.
+- ``generate``: same, but carries a growing voxel-downsampled *scene memory*
+  cloud re-projected each step, with random FoV-bounded poses.
+
+All device math (reproject, occlusion filter, DDNM chain, memory voxel
+maintenance) is jitted; the host only writes PNG/PLY files.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.core import geometry as G
+from pointreggpt_tpu.core import plyio
+from pointreggpt_tpu.core import pointops as P
+from pointreggpt_tpu.core import sampling as S
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.train import checkpoint as ckpt
+
+
+def save_triptych(path, image_prev: np.ndarray, image_rpj: np.ndarray,
+                  image_new: np.ndarray) -> None:
+    """Save [prev | reprojected | new] as one grayscale PNG (sdd:1984-1998)."""
+    from PIL import Image
+
+    vis = np.concatenate([image_prev, image_rpj, image_new], axis=-1)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray((np.clip(vis, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+class Tester:
+    """Successive-generation sampler around a trained diffusion model."""
+
+    def __init__(self,
+                 model,
+                 diffusion: GaussianDiffusion,
+                 *,
+                 batch_size: int = 16,
+                 results_folder: str = "./results",
+                 samples_folder: str = "./samples",
+                 seed: int = 0):
+        self.model = model
+        self.diffusion = diffusion
+        self.batch_size = batch_size
+        self.image_size = diffusion.image_size
+        self.results_folder = Path(results_folder)
+        self.samples_folder = Path(samples_folder)
+        self.samples_folder.mkdir(parents=True, exist_ok=True)
+        self.seed = seed
+        self.ema_params = None
+
+        self._sample_fn = jax.jit(
+            lambda p, k, pc, ic: self.diffusion.sample(
+                p, k, param_cond=pc, img_cond=ic))
+        self._sample_uncond_fn = jax.jit(
+            lambda p, k, pc: self.diffusion.sample(p, k, param_cond=pc))
+        self._reproject_fn = jax.jit(self._reproject_impl)
+
+    def _reproject_impl(self, images01, intrinsic, pose, apply_occlusion):
+        depth, mask = G.reproject(images01[..., 0] * 10.0, intrinsic, pose)
+        depth_f, mask_f = G.occlusion_filter(depth, mask)
+        depth = jnp.where(apply_occlusion, depth_f, depth)
+        return depth, mask
+
+    # ------------------------------------------------------------------
+    def load(self, milestone) -> None:
+        """Load {params, ema} from a Trainer checkpoint (sdd:1896-1913)."""
+        dummy = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.image_size, self.image_size,
+                       self.diffusion.channels)), jnp.zeros((1,)),
+            jnp.zeros((1, 4)))
+        target_params = jax.tree_util.tree_map(np.asarray, dummy)
+        state, meta = ckpt.load_checkpoint(
+            self.results_folder / f"model-{milestone}.ckpt",
+            {"params": target_params,
+             "ema": {"params": target_params, "step": 0, "initted": False}})
+        self.ema_params = state["ema"]["params"]
+        if meta.get("version"):
+            print(f"loading from version {meta['version']}")
+
+    def _random_intrinsics(self, key, batch: int) -> np.ndarray:
+        intr = np.asarray(S.random_sample_intrinsic(key, batch))
+        return G.intrinsic_transform(
+            intr, resize=self.image_size,
+            centercrop=self.image_size).astype(np.float32)
+
+    def sample_uncondition(self, num_samples: int = 25) -> np.ndarray:
+        """Unconditional grid (sdd:1937-1958)."""
+        from pointreggpt_tpu.train.trainer import save_image_grid
+
+        key = jax.random.PRNGKey(self.seed)
+        k1, k2 = jax.random.split(key)
+        intrinsic = self._random_intrinsics(k1, num_samples)
+        images = self._sample_uncond_fn(
+            self.ema_params, k2, G.param_vector(jnp.asarray(intrinsic)))
+        images = np.asarray(images)
+        save_image_grid(images, self.samples_folder / "unconditional.png",
+                        nrow=int(math.isqrt(num_samples)))
+        return images
+
+    # ------------------------------------------------------------------
+    def sample(self, num_scenes: int, num_samples: int) -> None:
+        """Successive conditional generation with fixed forward motion.
+
+        Reference: sdd:1960-2097.
+        """
+        key = jax.random.PRNGKey(self.seed)
+        done = 0
+        b_idx = 0
+        while done < num_scenes:
+            batch = min(self.batch_size, num_scenes - done)
+            key, k_intr, k_s = jax.random.split(key, 3)
+            intrinsic = self._random_intrinsics(k_intr, batch)
+            param_cond = G.param_vector(jnp.asarray(intrinsic))
+            absolute_pose = np.tile(np.eye(4, dtype=np.float32),
+                                    (batch, 1, 1))
+
+            images = np.asarray(
+                self._sample_uncond_fn(self.ema_params, k_s, param_cond))
+
+            for scene_idx in range(batch):
+                sid = b_idx * self.batch_size + scene_idx
+                img = images[scene_idx, ..., 0]
+                save_triptych(
+                    self.samples_folder / f"scene-{sid}-sample-0.png",
+                    np.zeros_like(img), np.zeros_like(img), img)
+                pc = G.point_cloud_np(img * 10, intrinsic[scene_idx],
+                                      clip=(0.5, 3.5))
+                plyio.write_ply(
+                    self.samples_folder / f"scene-{sid}-sample-0.ply", pc)
+                np.savetxt(
+                    self.samples_folder /
+                    f"scene-{sid}-camera-intrinsics.txt",
+                    intrinsic[scene_idx])
+
+            for sample_idx in range(1, num_samples):
+                relative_pose = np.tile(np.eye(4, dtype=np.float32),
+                                        (batch, 1, 1))
+                relative_pose[:, :3, 3] = [0.0, 0.0, 0.5]
+                absolute_pose = relative_pose @ absolute_pose
+
+                apply_occ = jnp.asarray(
+                    float(np.sum(absolute_pose[..., :3, 3]**2) != 0))
+                depth_rpj, mask_rpj = self._reproject_fn(
+                    jnp.asarray(images), jnp.asarray(intrinsic),
+                    jnp.asarray(relative_pose), apply_occ)
+                images_rpj = np.asarray(depth_rpj) * 0.1
+                img_cond = G.normalize_to_neg_one_to_one(
+                    jnp.stack([
+                        jnp.asarray(images_rpj),
+                        jnp.asarray(mask_rpj, jnp.float32)
+                    ], axis=-1))
+
+                key, k_s = jax.random.split(key)
+                images_last = images
+                images = np.asarray(
+                    self._sample_fn(self.ema_params, k_s, param_cond,
+                                    img_cond))
+
+                for scene_idx in range(batch):
+                    sid = b_idx * self.batch_size + scene_idx
+                    save_triptych(
+                        self.samples_folder /
+                        f"scene-{sid}-sample-{sample_idx}.png",
+                        images_last[scene_idx, ..., 0],
+                        images_rpj[scene_idx],
+                        images[scene_idx, ..., 0])
+                    pc = G.point_cloud_np(images[scene_idx, ..., 0] * 10,
+                                          intrinsic[scene_idx],
+                                          clip=(0.5, 3.5))
+                    # accumulated world frame: p' = (p - t) @ R (sdd:2072)
+                    pc = (pc - absolute_pose[scene_idx, :3, 3]) @ \
+                        absolute_pose[scene_idx, :3, :3]
+                    plyio.write_ply(
+                        self.samples_folder /
+                        f"scene-{sid}-sample-{sample_idx}.ply", pc)
+
+            done += batch
+            b_idx += 1
+
+    # ------------------------------------------------------------------
+    def generate(self, num_scenes: int, num_samples: int,
+                 voxel_size: float = 0.005,
+                 memory_capacity: int = 1 << 18) -> None:
+        """Scene-memory successive generation (sdd:2099-2247): each step
+        re-projects the accumulated memory cloud under a random pose."""
+        H = self.image_size
+        key = jax.random.PRNGKey(self.seed)
+        done = 0
+        b_idx = 0
+
+        @jax.jit
+        def splat_memory(mem_pts, mem_valid, pose, intrinsic):
+            pts = G.transform_points(mem_pts, pose)
+            depth, mask = G.points_to_depth(pts, mem_valid, intrinsic,
+                                            image_size=(H, H))
+            return depth, mask
+
+        @jax.jit
+        def update_memory(mem_pts, mem_valid, images, pose, intrinsic):
+            new_pts, new_valid = G.depth_to_points(
+                images[..., 0] * 10.0, intrinsic, clip=(0.5, 10.0))
+            # to world: p' = R^T (p - t)
+            rot = pose[:, :3, :3]
+            t = pose[:, :3, 3]
+            world = jnp.einsum("bji,bnj->bni", rot,
+                               new_pts - t[:, None, :],
+                               precision=jax.lax.Precision.HIGHEST)
+            merged = jnp.concatenate([mem_pts, world], axis=1)
+            merged_valid = jnp.concatenate([mem_valid, new_valid], axis=1)
+            down, down_valid = jax.vmap(
+                lambda p, v: P.voxel_downsample(p, v, voxel_size))(
+                    merged, merged_valid)
+            return down[:, :memory_capacity], down_valid[:, :memory_capacity]
+
+        while done < num_scenes:
+            batch = min(self.batch_size, num_scenes - done)
+            key, k_intr, k_s = jax.random.split(key, 3)
+            intrinsic = self._random_intrinsics(k_intr, batch)
+            intr_j = jnp.asarray(intrinsic)
+            param_cond = G.param_vector(intr_j)
+
+            images = np.asarray(
+                self._sample_uncond_fn(self.ema_params, k_s, param_cond))
+
+            mem_pts0, mem_valid0 = G.depth_to_points(
+                jnp.asarray(images)[..., 0] * 10.0, intr_j, clip=(0.5, 10.0))
+            pad = memory_capacity - mem_pts0.shape[1]
+            mem_pts = jnp.pad(mem_pts0, ((0, 0), (0, pad), (0, 0)))
+            mem_valid = jnp.pad(mem_valid0, ((0, 0), (0, pad)))
+
+            for scene_idx in range(batch):
+                sid = b_idx * self.batch_size + scene_idx
+                img = images[scene_idx, ..., 0]
+                save_triptych(
+                    self.samples_folder / f"scene-{sid}-sample-0.png",
+                    np.zeros_like(img), np.zeros_like(img), img)
+
+            for sample_idx in range(1, num_samples):
+                key, k_pose, k_s = jax.random.split(key, 3)
+                pose = S.random_sample_transform(k_pose, intr_j,
+                                                 self.image_size)
+                depth_rpj, mask_rpj = splat_memory(mem_pts, mem_valid, pose,
+                                                   intr_j)
+                depth_rpj, mask_rpj = G.occlusion_filter(depth_rpj, mask_rpj)
+                images_rpj = np.asarray(depth_rpj) * 0.1
+                img_cond = G.normalize_to_neg_one_to_one(
+                    jnp.stack([
+                        jnp.asarray(images_rpj),
+                        jnp.asarray(mask_rpj, jnp.float32)
+                    ], axis=-1))
+                images_last = images
+                images = np.asarray(
+                    self._sample_fn(self.ema_params, k_s, param_cond,
+                                    img_cond))
+                mem_pts, mem_valid = update_memory(
+                    mem_pts, mem_valid, jnp.asarray(images), pose, intr_j)
+
+                for scene_idx in range(batch):
+                    sid = b_idx * self.batch_size + scene_idx
+                    save_triptych(
+                        self.samples_folder /
+                        f"scene-{sid}-sample-{sample_idx}.png",
+                        images_last[scene_idx, ..., 0],
+                        images_rpj[scene_idx], images[scene_idx, ..., 0])
+
+            # final memory clouds to PLY
+            mem_np = np.asarray(mem_pts)
+            memv_np = np.asarray(mem_valid)
+            for scene_idx in range(batch):
+                sid = b_idx * self.batch_size + scene_idx
+                plyio.write_ply(
+                    self.samples_folder / f"scene-{sid}-memory.ply",
+                    mem_np[scene_idx][memv_np[scene_idx]])
+
+            done += batch
+            b_idx += 1

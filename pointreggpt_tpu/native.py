@@ -1,0 +1,151 @@
+"""ctypes bindings for the native C++ host runtime (native/*.cpp).
+
+Builds the shared library on first use (g++ -O3) and exposes:
+
+- :func:`depth_preprocess` — uint16 mm frame -> model-space float32 [0,1]
+  (NEAREST short-side resize + center crop + scale/clip + optional flip);
+  the training dataloader's host hot path.
+- :func:`voxel_downsample_host` / :func:`radius_hits_host` — CPU fallbacks
+  for the device point ops (used by gt tooling on accelerator-less hosts).
+- :func:`ply_pack` — binary PLY byte packing.
+
+All functions degrade gracefully: if the toolchain is unavailable the pure
+Python/numpy paths keep working (``is_available()`` gates call sites).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _SRC / "_pointreggpt_native.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cpp = _SRC / "pointreggpt_native.cpp"
+    if not cpp.exists():
+        return False
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_LIB_PATH), str(cpp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        src = _SRC / "pointreggpt_native.cpp"
+        stale = (not _LIB_PATH.exists() or
+                 (src.exists() and
+                  src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+        if stale and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.depth_preprocess.restype = ctypes.c_int
+        lib.depth_preprocess.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        lib.voxel_downsample.restype = ctypes.c_int
+        lib.voxel_downsample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.radius_hits.restype = None
+        lib.radius_hits.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.ply_pack.restype = ctypes.c_int64
+        lib.ply_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    """True when the native library built and loaded."""
+    return _load() is not None
+
+
+def depth_preprocess(raw: np.ndarray, out_size: int,
+                     flip: bool = False) -> np.ndarray:
+    """uint16 (h, w) mm depth -> (out_size, out_size) float32 [0,1]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = np.ascontiguousarray(raw, dtype=np.uint16)
+    out = np.empty((out_size, out_size), np.float32)
+    rc = lib.depth_preprocess(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        raw.shape[0], raw.shape[1], out_size, int(flip),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise ValueError(f"depth_preprocess failed (rc={rc}, "
+                         f"shape={raw.shape}, out_size={out_size})")
+    return out
+
+
+def voxel_downsample_host(points: np.ndarray, voxel: float) -> np.ndarray:
+    """(n, 3) -> (m, 3) voxel centroids (Open3D semantics), on host."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    out = np.empty_like(pts)
+    m = lib.voxel_downsample(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pts.shape[0],
+        voxel, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out[:m].copy()
+
+
+def radius_hits_host(src: np.ndarray, tgt: np.ndarray,
+                     radius: float) -> np.ndarray:
+    """(n,) bool: any tgt point within radius of each src point (host)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s = np.ascontiguousarray(src, dtype=np.float32)
+    t = np.ascontiguousarray(tgt, dtype=np.float32)
+    hits = np.empty((s.shape[0],), np.uint8)
+    lib.radius_hits(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), s.shape[0],
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t.shape[0],
+        radius, hits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return hits.astype(bool)
+
+
+def ply_pack(points: np.ndarray) -> bytes:
+    """Pack (n, 3) points into binary-little-endian PLY bytes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    buf_size = 256 + pts.shape[0] * 12
+    buf = ctypes.create_string_buffer(buf_size)
+    n = lib.ply_pack(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pts.shape[0],
+        buf, buf_size)
+    if n < 0:
+        raise ValueError("ply_pack buffer too small")
+    return buf.raw[:n]

@@ -52,11 +52,17 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
     if len(axis_names) == 1:
         grid = devs
     else:
-        # even split across leading axes, remainder on the last
+        # balanced exact factorization: each leading axis takes the largest
+        # divisor <= the even split, the last axis absorbs the rest
         n = len(devs)
-        per = int(round(n ** (1 / len(axis_names))))
-        shape = [per] * (len(axis_names) - 1)
-        shape.append(n // int(np.prod(shape)))
+        shape = []
+        remaining = n
+        for i in range(len(axis_names) - 1):
+            target = int(round(remaining ** (1 / (len(axis_names) - i))))
+            d = max(k for k in range(1, target + 1) if remaining % k == 0)
+            shape.append(d)
+            remaining //= d
+        shape.append(remaining)
         grid = devs.reshape(shape)
     return Mesh(grid, axis_names=tuple(axis_names))
 
@@ -75,11 +81,19 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     """Device-put a host batch with its leading dim split across the mesh.
 
     Equivalent of Accelerate's ``split_batches=True`` dataloader sharding
-    (sdd:1601): the global batch divides across chips.
+    (sdd:1601): the global batch divides across chips. Arrays whose leading
+    dim does not divide the mesh (e.g. batch-1 validation) are replicated.
     """
-    sharding = batch_sharded(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+    n = int(mesh.devices.size)
+    split = batch_sharded(mesh, axis)
+    repl = replicated(mesh)
+
+    def put(x):
+        x = jnp.asarray(x)
+        sharding = split if (x.ndim > 0 and x.shape[0] % n == 0) else repl
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

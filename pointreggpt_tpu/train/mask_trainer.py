@@ -1,0 +1,297 @@
+"""Depth-correction trainer/tester (MaskUNet): BCE epochs + mask metrics.
+
+Reference: MaskTrainer dc:1073-1393 (Adam 4e-5, ExponentialLR gamma 0.95
+stepped per epoch, clip 1.0, per-epoch val metrics at threshold 0.99,
+best-on-SAE / latest checkpoints) and MaskTester dc:1398-1522 (qualitative
+GIFs over 3DMatch test reprojections).
+
+The train step (forward+BCE+clip+Adam) is one jitted program over the data
+mesh; validation metrics run on device via ``train.metrics.mask_metrics``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pointreggpt_tpu.data import PairedDepthDataset, PrefetchLoader, TestDataset
+from pointreggpt_tpu.parallel import mesh as M
+from pointreggpt_tpu.train import checkpoint as ckpt
+from pointreggpt_tpu.train.metrics import AverageMeter, Logger, mask_metrics
+
+Array = jax.Array
+
+
+class MaskTrainState(NamedTuple):
+    epoch: Array
+    step: Array
+    params: Any
+    opt_state: Any
+
+
+def bce_loss(prob: Array, target: Array, eps: float = 1e-7) -> Array:
+    """Binary cross entropy on probabilities (torch nn.BCELoss semantics:
+    clamps log terms at -100)."""
+    prob = jnp.clip(prob, eps, 1.0 - eps)
+    ll = target * jnp.log(prob) + (1.0 - target) * jnp.log(1.0 - prob)
+    return -jnp.mean(ll)
+
+
+class MaskTrainer:
+    """Epoch trainer for the depth-correction MaskUNet.
+
+    Entry-script config (train_depth_correction.py:14-23): batch 4, lr 4e-5,
+    gamma 0.95, 100 epochs.
+    """
+
+    def __init__(self,
+                 model,
+                 folder: str,
+                 *,
+                 image_size: int = 256,
+                 train_batch_size: int = 4,
+                 train_lr: float = 1e-4,
+                 epochs: int = 100,
+                 adam_betas: Tuple[float, float] = (0.9, 0.99),
+                 lr_gamma: float = 0.95,
+                 results_folder: str = "./results",
+                 samples_folder: str = "./samples",
+                 grad_clip: float = 1.0,
+                 num_workers: int = 2,
+                 seed: int = 0,
+                 mesh=None):
+        self.model = model
+        self.epochs = epochs
+        self.image_size = image_size
+        self.results_folder = Path(results_folder)
+        self.samples_folder = Path(samples_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.samples_folder.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else M.create_mesh()
+
+        # batch scales with device count (reference scales by process count,
+        # dc:1113)
+        n_dev = int(self.mesh.devices.size)
+        self.batch_size = train_batch_size * n_dev
+
+        self.train_ds = PairedDepthDataset(folder, "train", image_size)
+        self.val_ds = PairedDepthDataset(folder, "val", image_size)
+        self.loader = PrefetchLoader(self.train_ds, self.batch_size,
+                                     shuffle=True, num_workers=num_workers,
+                                     seed=seed)
+        self.steps_per_epoch = max(1, len(self.loader))
+
+        schedule = optax.exponential_decay(
+            train_lr, transition_steps=self.steps_per_epoch,
+            decay_rate=lr_gamma, staircase=True)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adam(schedule, b1=adam_betas[0], b2=adam_betas[1]),
+        )
+
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, image_size, image_size, 1)))
+        state = MaskTrainState(
+            epoch=jnp.asarray(0, jnp.int32),
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+        self.state = M.replicate(self.mesh, state)
+        self.loss_hist: list = []
+        self.metrics = {"best": {}, "current": {}}
+        self.logger = Logger(
+            str(self.results_folder / "train.log")
+            if M.is_main_process() else None,
+            is_main=M.is_main_process())
+
+        self._train_step = self._build_train_step()
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch):
+            prob = model.apply(params, batch["input_img"])
+            return bce_loss(prob, batch["mask"])
+
+        def step(state: MaskTrainState, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return MaskTrainState(state.epoch, state.step + 1, params,
+                                  opt_state), loss
+
+        donate = (0,) if jax.default_backend() != "cpu" else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def _eval_step_impl(self, params, batch):
+        prob = self.model.apply(params, batch["input_img"])
+        return mask_metrics(batch["input_img"], batch["label_img"],
+                            batch["mask"], prob, mask_threshold=0.99)
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self) -> float:
+        meter = AverageMeter()
+        t0 = time.time()
+        for batch in self.loader:
+            sharded = M.shard_batch(self.mesh, batch)
+            self.state, loss = self._train_step(self.state, sharded)
+            meter.update(float(loss))
+        epoch = int(self.state.epoch)
+        self.logger.info(
+            f"Epoch {epoch + 1}/{self.epochs} loss {float(meter):.4e} "
+            f"batch {self.batch_size} ({time.time() - t0:.1f}s)")
+        self.loss_hist.append(float(meter))
+        return float(meter)
+
+    def eval_one_epoch(self) -> None:
+        if not M.is_main_process():
+            return
+        meters = {}
+        val_loader = PrefetchLoader(self.val_ds, 1, shuffle=False,
+                                    drop_last=False, num_workers=1)
+        for batch in val_loader:
+            out = self._eval_step(self.state.params,
+                                  M.shard_batch(self.mesh, batch))
+            for k, v in out.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+        self.metrics["current"] = meters
+        if meters:
+            self.logger.info(
+                "Epoch {}/{} mIoU {:.4e} PAcc {:.4e} FP {:.1f}".format(
+                    int(self.state.epoch) + 1, self.epochs,
+                    float(meters["mIoU"]), float(meters["PAcc"]),
+                    float(meters["FP"])))
+
+    def better_than_best_metrics(self, name: str = "SAE") -> bool:
+        """Model selection on SAE (reference: dc:1282-1298)."""
+        if not M.is_main_process() or name not in self.metrics["current"]:
+            return False
+        current = float(self.metrics["current"][name])
+        best = self.metrics["best"].get(name)
+        if best is None or current <= best:
+            self.metrics["best"][name] = current
+            return True
+        return False
+
+    def train_and_eval(self) -> None:
+        start = int(self.state.epoch)
+        for epoch in range(start, self.epochs):
+            self.state = self.state._replace(
+                epoch=jnp.asarray(epoch, jnp.int32))
+            self.train_one_epoch()
+            self.eval_one_epoch()
+            if self.better_than_best_metrics():
+                self.save("best")
+            self.save("latest")
+
+    def test(self) -> None:
+        self.eval_one_epoch()
+
+    # ------------------------------------------------------------------
+    def save(self, milestone: str) -> None:
+        if not M.is_main_process():
+            return
+        ckpt.save_checkpoint(
+            self.results_folder / f"model-{milestone}.ckpt",
+            {
+                "epoch": int(self.state.epoch),
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+            },
+            meta={
+                "loss_hist": [float(x) for x in self.loss_hist],
+                "best_metrics": {
+                    k: float(v) for k, v in self.metrics["best"].items()
+                },
+            })
+
+    def load(self, milestone: str) -> None:
+        target = {
+            "epoch": 0,
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                self.state.opt_state),
+        }
+        state, meta = ckpt.load_checkpoint(
+            self.results_folder / f"model-{milestone}.ckpt", target)
+        self.state = M.replicate(
+            self.mesh,
+            MaskTrainState(
+                epoch=jnp.asarray(state["epoch"] + 1, jnp.int32),
+                step=jnp.asarray(0, jnp.int32),
+                params=state["params"],
+                opt_state=state["opt_state"],
+            ))
+        self.loss_hist = list(meta.get("loss_hist", []))
+        self.metrics["best"] = dict(meta.get("best_metrics", {}))
+
+
+class MaskTester:
+    """Qualitative eval: input/output GIFs over 3DMatch test reprojections.
+
+    Reference: MaskTester dc:1398-1522 + make_gif dc:133-138.
+    """
+
+    def __init__(self,
+                 model,
+                 folder: str,
+                 *,
+                 info=None,
+                 image_size: int = 256,
+                 results_folder: str = "./results",
+                 samples_folder: str = "./samples",
+                 mask_threshold: float = 0.99):
+        self.model = model
+        self.folder = folder
+        self.info = info
+        self.image_size = image_size
+        self.mask_threshold = mask_threshold
+        self.results_folder = Path(results_folder)
+        self.samples_folder = Path(samples_folder)
+        self.samples_folder.mkdir(parents=True, exist_ok=True)
+        self.params = None
+        self._apply = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def load(self, milestone: str) -> None:
+        params_target = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.image_size, self.image_size, 1)))
+        state, _ = ckpt.load_checkpoint(
+            self.results_folder / f"model-{milestone}.ckpt",
+            {"epoch": 0, "params": jax.tree_util.tree_map(
+                np.asarray, params_target)})
+        self.params = state["params"]
+
+    def test(self, *, limit: Optional[int] = None) -> None:
+        import imageio
+
+        assert self.params is not None, "call load() first"
+        ds = TestDataset(self.info, self.folder, self.image_size)
+        n = len(ds) if limit is None else min(limit, len(ds))
+        for idx in range(n):
+            item = ds[idx]
+            x = jnp.asarray(item["input_img"][None])
+            prob = np.asarray(self._apply(self.params, x))[0]
+            keep = prob > self.mask_threshold
+            corrected = np.where(keep, item["input_img"], 0.0)
+
+            def to_u8(img):
+                return (np.clip(img[..., 0], 0, 1) * 255).astype(np.uint8)
+
+            frames_in = [to_u8(item["input_img"]), to_u8(item["label_img"])]
+            frames_out = [to_u8(corrected), to_u8(item["label_img"])]
+            imageio.mimsave(self.samples_folder / f"{idx:06d}-input.gif",
+                            frames_in, duration=1000, loop=0)
+            imageio.mimsave(self.samples_folder / f"{idx:06d}-output.gif",
+                            frames_out, duration=1000, loop=0)

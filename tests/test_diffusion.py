@@ -266,3 +266,15 @@ class TestTrainingLoss:
         l_large = d.p_losses({}, jax.random.PRNGKey(4), x0,
                              jnp.array([900]), jnp.zeros((1, 4)))
         assert float(l_small) > float(l_large)
+
+
+class TestInterpolate:
+    def test_interpolation_runs_and_blends(self):
+        d = _dummy_diffusion(timesteps=8)
+        params = {"x0": 0.3}
+        x1 = jnp.full((1, 8, 8, 1), -0.5)
+        x2 = jnp.full((1, 8, 8, 1), 0.5)
+        out = d.interpolate(params, jax.random.PRNGKey(0), x1, x2,
+                            jnp.zeros((1, 4)), t=4)
+        assert out.shape == x1.shape
+        assert np.isfinite(np.asarray(out)).all()

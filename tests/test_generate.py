@@ -1,0 +1,206 @@
+"""End-to-end tests of the generation layer: gt.log pipeline, Generator
+with synthetic 3DMatch-style inputs, and output-contract checks."""
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointreggpt_tpu.core import plyio
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.generate import (
+    Generator,
+    compute_overlap_ratio_np,
+    gather_gt,
+    generate_gt,
+    parse_gt_log,
+)
+from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
+
+
+def make_cloud_pair(n=1500, shift=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    b = a.copy()
+    b[:, 0] += shift
+    return a, b
+
+
+class TestOverlapRatio:
+    def test_overlapping_pair(self):
+        a, b = make_cloud_pair(shift=0.02)
+        ov1, ov2 = compute_overlap_ratio_np(a, b)
+        assert ov1 > 0.5 and ov2 > 0.5
+
+    def test_far_pair(self):
+        a, b = make_cloud_pair(shift=50.0)
+        ov1, ov2 = compute_overlap_ratio_np(a, b)
+        assert ov1 == 0.0 and ov2 == 0.0
+
+
+class TestGtLogPipeline:
+    def _write_scene(self, root: Path, scene_idx: int, clouds):
+        scene = root / "data" / f"scene-{scene_idx:06d}"
+        scene.mkdir(parents=True, exist_ok=True)
+        for i, c in enumerate(clouds):
+            plyio.write_ply(scene / f"sample-{i:06d}.cloud.ply", c)
+
+    def test_generate_and_gather(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        a, b = make_cloud_pair(shift=0.05)
+        self._write_scene(tmp_path / "gen", 0, [a, b])
+        # scene 1: disjoint pair -> filtered out
+        c, d = make_cloud_pair(shift=50.0, seed=1)
+        self._write_scene(tmp_path / "gen", 1, [c, d])
+        # scene 2: too-small clouds -> filtered out
+        self._write_scene(tmp_path / "gen", 2, [a[:100], b[:100]])
+
+        generate_gt("gen", 0, 3, 2, root=str(tmp_path / "gen/data"),
+                    verbose=False)
+        gather_gt("gen", 0, 3, root=str(tmp_path / "gen/data"),
+                  metadata=str(tmp_path / "gen/metadata/gt.log"))
+
+        records = parse_gt_log(tmp_path / "gen/metadata/gt.log")
+        assert len(records) == 1
+        assert records[0]["scene_name"] == "scene-000000"
+        assert records[0]["overlap_src"] >= 0.1
+
+    def test_skip_existing(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        a, b = make_cloud_pair(shift=0.05)
+        self._write_scene(tmp_path / "gen", 0, [a, b])
+        generate_gt("gen", 0, 1, 2, root=str(tmp_path / "gen/data"),
+                    verbose=False)
+        first = (tmp_path / "gen/data/scene-000000/gt.log").read_text()
+        # second run must skip (idempotent resume)
+        generate_gt("gen", 0, 1, 2, root=str(tmp_path / "gen/data"))
+        assert "skip" in capsys.readouterr().out.lower()
+        assert (tmp_path /
+                "gen/data/scene-000000/gt.log").read_text() == first
+
+
+def make_3dmatch_tree(root: Path, image_size=480, n_scenes=2):
+    """Synthetic 3DMatch indoor tree: rgbd frames + info files + pkl info."""
+    import cv2
+
+    rgbd = root / "rgbd"
+    indoor = root / "dataset/indoor/data"
+    info = {"src": [], "tgt": []}
+    rng = np.random.default_rng(0)
+    for s in range(n_scenes):
+        scene_name = f"scene-{s}"
+        seq = rgbd / scene_name / "seq-01"
+        seq.mkdir(parents=True, exist_ok=True)
+        np.savetxt(rgbd / scene_name / "camera-intrinsics.txt",
+                   np.array([[585.0, 0, 320.0], [0, 585.0, 240.0],
+                             [0, 0, 1]]))
+        # depth ~2m plane with noise, in range for the 0.5..3.5 bbox
+        depth_mm = (2000 + rng.integers(0, 800, (480, 640))).astype(np.uint16)
+        cv2.imwrite(str(seq / "frame-000000.depth.png"), depth_mm)
+        np.savetxt(seq / "frame-000000.pose.txt", np.eye(4))
+
+        frag_dir = indoor / scene_name
+        frag_dir.mkdir(parents=True, exist_ok=True)
+        for role in ("src", "tgt"):
+            rel = f"{scene_name}/{role}.pth"
+            info_file = indoor / f"{scene_name}/{role}.info.txt"
+            info_file.write_text(f"{scene_name} seq-01 0 0\n")
+            info[role].append(rel)
+    return str(rgbd), info
+
+
+@pytest.mark.slow
+class TestGenerator:
+    def test_generate_outputs_contract(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        folder, info = make_3dmatch_tree(tmp_path)
+
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=4,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=1.0)
+        dc_model = MaskUNet(dim=8, dim_mults=(1, 2))
+
+        gen = Generator(
+            model, diffusion, folder, batch_size=2,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            depth_correction_model=dc_model,
+            depth_correction_results=str(tmp_path / "dc_results"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+
+        # seed checkpoints with random weights
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        from pointreggpt_tpu.train import ema as ema_lib
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+        dc_params = dc_model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, image_size, image_size, 1)))
+        ckpt.save_checkpoint(tmp_path / "dc_results/model-best.ckpt",
+                             {"epoch": 0, "params": dc_params})
+
+        gen.load(1)
+        gen.generate(0, 2, num_samples=1, has_refine_step=False,
+                     info_train=info, verbose=False)
+
+        for sid in range(2):
+            scene = tmp_path / f"gen/data/scene-{sid:06d}"
+            # the reference output contract (SURVEY.md §7)
+            assert (scene / "camera-intrinsics.txt").exists()
+            assert (scene / "sample-000000.image.png").exists()
+            assert (scene / "sample-000000.cloud.ply").exists()
+            assert (scene / "sample-000001.pose.txt").exists()
+            assert (scene / "sample-000001.image.png").exists()
+            assert (scene / "sample-000001.depth.png").exists()
+            assert (scene / "sample-000001.cloud.ply").exists()
+            # pose file holds an invertible SE(3)
+            pose = np.loadtxt(scene / "sample-000001.pose.txt")
+            assert pose.shape == (4, 4)
+            np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)
+            # PLYs parse
+            pc = plyio.read_ply(scene / "sample-000000.cloud.ply")
+            assert pc.shape[1] == 3
+
+    def test_resume_skips_completed(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        folder, info = make_3dmatch_tree(tmp_path, n_scenes=1)
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        gen = Generator(
+            model, diffusion, folder, batch_size=1,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+        # pre-place the probe file the resume check looks for
+        probe = tmp_path / "gen/data/scene-000000/sample-000000.cloud.ply"
+        probe.parent.mkdir(parents=True)
+        plyio.write_ply(probe, np.zeros((1, 3)))
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        from pointreggpt_tpu.train import ema as ema_lib
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+        gen.load(1)
+        gen.generate(0, 1, num_samples=1, has_refine_step=False,
+                     info_train=info)
+        assert "Skip" in capsys.readouterr().out

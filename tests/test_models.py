@@ -137,12 +137,15 @@ class TestDiffusionUNet:
         assert leaf.dtype == jnp.float32
 
     def test_param_count_full_size(self):
-        # full config as the entry scripts build it (dim=64, mults 1,2,4,8)
+        # full config as the entry scripts build it (dim=64, mults 1,2,4,8);
+        # eval_shape avoids compiling the full forward on the 1-core host
         model = DiffusionUNet(dim=64, dim_mults=(1, 2, 4, 8), channels=1)
         x = jnp.zeros((1, 64, 64, 1))  # spatial size doesn't affect params
-        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
-                            jnp.zeros((1, 4)))
-        n = sum(p.size for p in jax.tree_util.tree_leaves(params))
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                               jnp.zeros((1, 4))))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(params))
         # reference torch model has ~36.7M params; ours must match closely
         assert 30e6 < n < 45e6, n
 

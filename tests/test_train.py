@@ -1,0 +1,194 @@
+"""Trainer / EMA / checkpoint / metrics tests with synthetic on-disk data,
+running data-parallel over the 8 fake CPU devices."""
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
+from pointreggpt_tpu.train import MaskTrainer, Trainer
+from pointreggpt_tpu.train import checkpoint as ckpt
+from pointreggpt_tpu.train import ema as ema_lib
+from pointreggpt_tpu.train.metrics import AverageMeter, mask_metrics
+
+
+def make_diffusion_dataset(root: Path, n_scenes=2, n_frames=10, size=64):
+    """Synthetic 3DMatch-style tree: scene/seq/frame PNGs + gt.log."""
+    import cv2
+
+    data_root = root / "rgbd"
+    meta = root / "dataset/3DMatch/metadata"
+    meta.mkdir(parents=True)
+    lines = []
+    rng = np.random.default_rng(0)
+    for s in range(n_scenes):
+        scene = data_root / f"scene-{s}"
+        seq = scene / "seq-01"
+        seq.mkdir(parents=True)
+        np.savetxt(scene / "camera-intrinsics.txt",
+                   np.array([[585.0, 0, 320.0], [0, 585.0, 240.0], [0, 0, 1]]))
+        for fidx in range(n_frames):
+            depth_mm = rng.integers(500, 9000, size=(480, 640)).astype(
+                np.uint16)
+            p = seq / f"frame-{fidx:06d}.depth.png"
+            cv2.imwrite(str(p), depth_mm)
+            lines.append(os.path.relpath(p, data_root))
+    (meta / "gt.log").write_text("\n".join(lines) + "\n")
+    return str(data_root), str(meta / "gt.log")
+
+
+class TestEMA:
+    def test_warmup_copies(self):
+        params = {"w": jnp.ones((2,))}
+        state = ema_lib.init(params)
+        state = ema_lib.update(state, {"w": jnp.ones((2,)) * 5},
+                               update_after_step=0, update_every=1)
+        # first tick is a hard copy
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 5.0)
+
+    def test_decay_after_warmup(self):
+        params = {"w": jnp.zeros(())}
+        state = ema_lib.init(params)
+        kw = dict(beta=0.9, update_after_step=0, update_every=1,
+                  inv_gamma=1.0, power=1.0)
+        # warmup ticks hard-copy the target (1.0)
+        state = ema_lib.update(state, {"w": jnp.asarray(1.0)}, **kw)
+        state = ema_lib.update(state, {"w": jnp.asarray(1.0)}, **kw)
+        assert float(state.params["w"]) == 1.0
+        # post-warmup updates toward 0.0 are smoothed, not copied
+        for _ in range(5):
+            state = ema_lib.update(state, {"w": jnp.asarray(0.0)}, **kw)
+        v = float(state.params["w"])
+        assert 0.0 < v < 1.0
+
+    def test_update_every_skips(self):
+        params = {"w": jnp.zeros(())}
+        state = ema_lib.init(params)
+        s1 = ema_lib.update(state, {"w": jnp.asarray(1.0)},
+                            update_after_step=0, update_every=10)
+        # step 0 ticks (0 % 10 == 0), step 1..9 don't
+        s2 = ema_lib.update(s1, {"w": jnp.asarray(100.0)},
+                            update_after_step=0, update_every=10)
+        assert float(s2.params["w"]) == float(s1.params["w"])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        state = {"step": 7, "params": {"a": np.arange(6.0).reshape(2, 3)}}
+        path = tmp_path / "model-5.ckpt"
+        ckpt.save_checkpoint(path, state, meta={"milestone": "5"})
+        loaded, meta = ckpt.load_checkpoint(path, state)
+        assert loaded["step"] == 7
+        np.testing.assert_array_equal(loaded["params"]["a"],
+                                      state["params"]["a"])
+        assert meta["milestone"] == "5"
+
+    def test_latest_milestone(self, tmp_path):
+        ckpt.save_checkpoint(tmp_path / "model-100.ckpt", {"x": 1})
+        import time
+        time.sleep(0.01)
+        ckpt.save_checkpoint(tmp_path / "model-best.ckpt", {"x": 2})
+        assert ckpt.latest_milestone(tmp_path) == "best"
+
+
+class TestMaskMetrics:
+    def test_perfect_prediction(self):
+        img = jnp.ones((1, 4, 4, 1)) * 0.5
+        mask = jnp.ones((1, 4, 4, 1))
+        out = mask_metrics(img, img, mask, jnp.ones_like(img),
+                           mask_threshold=0.5)
+        assert float(out["MSE"]) == 0.0
+        assert float(out["mIoU"]) == 1.0
+        assert float(out["PAcc"]) == 1.0
+        assert float(out["FP"]) == 0.0
+
+    def test_false_positive_counted(self):
+        img = jnp.ones((1, 2, 2, 1))
+        label_mask = jnp.zeros((1, 2, 2, 1))
+        prob = jnp.ones((1, 2, 2, 1))
+        out = mask_metrics(img, img, label_mask, prob, mask_threshold=0.5)
+        assert float(out["FP"]) == 4.0
+
+
+@pytest.mark.slow
+class TestDiffusionTrainer:
+    def test_train_steps_and_checkpoint(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        folder, gt_log = make_diffusion_dataset(tmp_path)
+        # tiny model/image: fake devices execute serially on 1 CPU core and
+        # XLA's collective rendezvous aborts past ~40s of device skew.
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=16, timesteps=16, sampling_timesteps=4,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=0.0)
+        trainer = Trainer(
+            model, diffusion, folder,
+            train_batch_size=8, gradient_accumulate_every=2,
+            train_lr=1e-3, train_num_steps=3, save_and_sample_every=2,
+            num_samples=4, results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "samples"), gt_log=gt_log,
+            sample_on_save=True, num_workers=1)
+        assert trainer.mesh.devices.size == 8  # fake CPU mesh
+        trainer.train(log_every=1)
+        assert int(trainer.state.step) == 3
+        # milestone saved at step 2 -> milestone 1 -> floored to 0
+        assert (tmp_path / "results/model-0.ckpt").exists()
+        assert (tmp_path / "results/sample-1.png").exists()
+
+        # resume roundtrip
+        step_before = int(trainer.state.step)
+        p_before = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        trainer.load(0)
+        assert int(trainer.state.step) == 2
+        trainer2_param = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        assert trainer2_param.shape == p_before.shape
+
+
+@pytest.mark.slow
+class TestMaskTrainer:
+    def make_paired_dataset(self, root: Path, n=16, size=16):
+        import cv2
+
+        (root / "metadata").mkdir(parents=True)
+        (root / "data").mkdir()
+        rng = np.random.default_rng(1)
+        meta = []
+        for subset, count in [("train", n), ("val", 2)]:
+            entries = []
+            for i in range(count):
+                name_in = f"{subset}-{i:06d}-input.depth.png"
+                name_lb = f"{subset}-{i:06d}-label.depth.png"
+                base = rng.integers(500, 9000, (size, size)).astype(np.uint16)
+                noise = rng.integers(0, 100, (size, size)).astype(np.uint16)
+                cv2.imwrite(str(root / "data" / name_in), base)
+                cv2.imwrite(str(root / "data" / name_lb), base + noise)
+                entries.append({"input_path": name_in, "label_path": name_lb})
+            (root / "metadata" / f"{subset}.json").write_text(
+                json.dumps(entries))
+        return str(root)
+
+    def test_epoch_and_best_checkpoint(self, tmp_path):
+        folder = self.make_paired_dataset(tmp_path / "dc")
+        model = MaskUNet(dim=8, dim_mults=(1, 2))
+        trainer = MaskTrainer(
+            model, folder, image_size=16, train_batch_size=1,
+            train_lr=1e-3, epochs=1,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "samples"), num_workers=1)
+        trainer.train_and_eval()
+        assert (tmp_path / "results/model-latest.ckpt").exists()
+        assert (tmp_path / "results/model-best.ckpt").exists()
+        assert len(trainer.loss_hist) == 1
+        assert "SAE" in trainer.metrics["best"]
+
+        # resume: epoch advances
+        trainer.load("latest")
+        assert int(trainer.state.epoch) == 1
