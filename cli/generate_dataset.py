@@ -25,6 +25,9 @@ parser.add_argument("--stop_scene_index", "-stop", default=1, type=int)
 parser.add_argument("--num_samples", default=1, type=int)
 parser.add_argument("--data", default="/path/to/3DMatch-RGBD/train",
                     help="path to 3DMatch RGB-D training data")
+parser.add_argument("--batch_size", default=8, type=int,
+                    help="scenes per device batch (8 is the profiled v5e "
+                         "sweet spot; the reference used 4 for one GPU)")
 parser.add_argument("--bf16", action="store_true")
 args = parser.parse_args()
 
@@ -54,7 +57,7 @@ generator = Generator(
     model,
     diffusion,
     args.data,
-    batch_size=4,
+    batch_size=args.batch_size,
     results_folder="./successive_ddnm_diffusion_results",
     samples_folder=f"./{args.dataset_name}/data",
     depth_correction_model=depth_correction,

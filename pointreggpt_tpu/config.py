@@ -1,0 +1,123 @@
+"""Dataclass config layer with CLI overrides (SURVEY.md §5.6).
+
+The reference hard-codes every hyperparameter inside six entry scripts and
+instructs users to edit source paths (README.md:96,110,152). Here each
+pipeline gets a frozen dataclass capturing the reference's exact defaults;
+``add_dataclass_args`` / ``from_args`` expose every field as a ``--flag`` so
+the same entry commands work with declarative overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Optional, Sequence, Tuple, Type, TypeVar
+
+T = TypeVar("T")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """DiffusionUNet hyperparameters (train_successive_ddnm_diffusion.py:12)."""
+
+    dim: int = 64
+    param_cond_dim: int = 4
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    channels: int = 1
+    resnet_block_groups: int = 8
+    bf16: bool = True  # TPU MXU compute dtype
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """GaussianDiffusion hyperparameters (train script :14-24)."""
+
+    image_size: int = 256
+    timesteps: int = 1000
+    sampling_timesteps: int = 250
+    loss_type: str = "l1"
+    objective: str = "pred_x0"
+    beta_schedule: str = "sigmoid"
+    ddim_sampling_eta: float = 0.0
+    is_ddnm_sampling: bool = True
+    ddnm_sampling_dropout: float = 0.0
+    ddnm_dropout_schedule: str = "none"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Diffusion Trainer hyperparameters (train script :26-42)."""
+
+    data: str = "/path/to/3DMatch-RGBD/train"
+    gt_log: str = "./dataset/3DMatch/metadata/gt.log"
+    train_batch_size: int = 32
+    train_lr: float = 8e-5
+    train_num_steps: int = 2_000_000
+    gradient_accumulate_every: int = 2
+    augment_horizontal_flip: bool = True
+    ema_decay: float = 0.995
+    ema_update_every: int = 10
+    save_and_sample_every: int = 1000
+    num_samples: int = 25
+    results_folder: str = "./successive_ddnm_diffusion_results"
+    samples_folder: str = "./successive_ddnm_diffusion_samples"
+    calculate_fid: bool = False
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class MaskTrainConfig:
+    """Depth-correction trainer hyperparameters (train_depth_correction.py)."""
+
+    data: str = "./dataset/depth_correction"
+    image_size: int = 256
+    train_batch_size: int = 4
+    train_lr: float = 4e-5
+    lr_gamma: float = 0.95
+    epochs: int = 100
+    results_folder: str = "./depth_correction_results"
+    samples_folder: str = "./depth_correction_samples"
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    """Generator hyperparameters (generate_dataset.py)."""
+
+    data: str = "/path/to/3DMatch-RGBD/train"
+    dataset_name: str = "generated_dataset"
+    batch_size: int = 4
+    num_samples: int = 1
+    memory_voxel_size: float = 0.002
+    save_voxel_size: float = 0.025
+    has_refine_step: bool = False
+    memory_capacity: int = 1 << 18
+    train_info_path: str = "./dataset/indoor/metadata/train_info.pkl"
+    data_root: str = "./dataset/indoor/data"
+    seed: int = 0
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type[T],
+                       prefix: str = "") -> None:
+    """Register every dataclass field as an argparse flag."""
+    for f in fields(cls):
+        name = f"--{prefix}{f.name}"
+        if f.type in ("bool", bool) or isinstance(f.default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=f.default)
+        elif isinstance(f.default, tuple):
+            parser.add_argument(
+                name, type=lambda s: tuple(int(x) for x in s.split(",")),
+                default=f.default)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+
+
+def from_args(args: argparse.Namespace, cls: Type[T],
+              prefix: str = "") -> T:
+    """Build a dataclass from parsed argparse values."""
+    kwargs = {}
+    for f in fields(cls):
+        kwargs[f.name] = getattr(args, f"{prefix}{f.name}")
+    return cls(**kwargs)

@@ -59,6 +59,7 @@ class DiffusionUNet(nn.Module):
     channels: int = 1
     resnet_block_groups: int = 8
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize ResnetBlocks (training memory)
 
     @nn.compact
     def __call__(self, x: Array, time: Array, param_cond: Array) -> Array:
@@ -77,6 +78,10 @@ class DiffusionUNet(nn.Module):
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         groups = self.resnet_block_groups
+        # jax.checkpoint on every residual block trades ~30% extra FLOPs for
+        # activation memory, unlocking the reference's batch-32 training at
+        # 256^2 on a 16GB chip.
+        ResBlock = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         time_dim = self.dim * 4
         param_dim = self.dim * 4
 
@@ -102,10 +107,10 @@ class DiffusionUNet(nn.Module):
         num_res = len(in_out)
         for i, (dim_in, dim_out_i) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
+            x = ResBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
                             name=f"down_{i}_block1")(x, cond)
             hs.append(x)
-            x = ResnetBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
+            x = ResBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
                             name=f"down_{i}_block2")(x, cond)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"down_{i}_attn_inner"),
@@ -119,21 +124,21 @@ class DiffusionUNet(nn.Module):
                             dtype=self.dtype, name=f"down_{i}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
+        x = ResBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
                         name="mid_block1")(x, cond)
         x = PreNormResidual(
             Attention(dtype=self.dtype, name="mid_attn_inner"),
             dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
+        x = ResBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
                         name="mid_block2")(x, cond)
 
         for i, (dim_in, dim_out_i) in enumerate(reversed(in_out)):
             is_last = i == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out_i, groups, use_cond=True,
+            x = ResBlock(dim_out_i, groups, use_cond=True,
                             dtype=self.dtype, name=f"up_{i}_block1")(x, cond)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out_i, groups, use_cond=True,
+            x = ResBlock(dim_out_i, groups, use_cond=True,
                             dtype=self.dtype, name=f"up_{i}_block2")(x, cond)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"up_{i}_attn_inner"),
@@ -146,7 +151,7 @@ class DiffusionUNet(nn.Module):
                             name=f"up_{i}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, groups, use_cond=True, dtype=self.dtype,
+        x = ResBlock(self.dim, groups, use_cond=True, dtype=self.dtype,
                         name="final_res_block")(x, cond)
         x = nn.Dense(out_dim, dtype=jnp.float32, name="final_conv")(
             x.astype(jnp.float32))
@@ -167,6 +172,7 @@ class MaskUNet(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     resnet_block_groups: int = 8
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -174,6 +180,7 @@ class MaskUNet(nn.Module):
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         groups = self.resnet_block_groups
+        ResBlock = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         x = DepthAugment(name="init_aug")(x)
         x = nn.Conv(init_dim, (7, 7), padding="SAME", dtype=self.dtype,
@@ -184,10 +191,10 @@ class MaskUNet(nn.Module):
         num_res = len(in_out)
         for i, (dim_in, dim_out_i) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_in, groups, dtype=self.dtype,
+            x = ResBlock(dim_in, groups, dtype=self.dtype,
                             name=f"down_{i}_block1")(x)
             hs.append(x)
-            x = ResnetBlock(dim_in, groups, dtype=self.dtype,
+            x = ResBlock(dim_in, groups, dtype=self.dtype,
                             name=f"down_{i}_block2")(x)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"down_{i}_attn_inner"),
@@ -201,21 +208,21 @@ class MaskUNet(nn.Module):
                             dtype=self.dtype, name=f"down_{i}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups, dtype=self.dtype,
+        x = ResBlock(mid_dim, groups, dtype=self.dtype,
                         name="mid_block1")(x)
         x = PreNormResidual(
             Attention(dtype=self.dtype, name="mid_attn_inner"),
             dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock(mid_dim, groups, dtype=self.dtype,
+        x = ResBlock(mid_dim, groups, dtype=self.dtype,
                         name="mid_block2")(x)
 
         for i, (dim_in, dim_out_i) in enumerate(reversed(in_out)):
             is_last = i == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out_i, groups, dtype=self.dtype,
+            x = ResBlock(dim_out_i, groups, dtype=self.dtype,
                             name=f"up_{i}_block1")(x)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out_i, groups, dtype=self.dtype,
+            x = ResBlock(dim_out_i, groups, dtype=self.dtype,
                             name=f"up_{i}_block2")(x)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"up_{i}_attn_inner"),
@@ -228,7 +235,7 @@ class MaskUNet(nn.Module):
                             name=f"up_{i}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, groups, dtype=self.dtype,
+        x = ResBlock(self.dim, groups, dtype=self.dtype,
                         name="final_res_block")(x)
         x = nn.Dense(self.out_dim, dtype=jnp.float32, name="final_conv")(
             x.astype(jnp.float32))

@@ -1,0 +1,99 @@
+"""Config layer + remat + profiling utility tests."""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu import config as C
+from pointreggpt_tpu.utils.profiling import StageTimer
+
+
+class TestConfig:
+    def test_defaults_match_reference(self):
+        tc = C.TrainConfig()
+        assert tc.train_batch_size == 32
+        assert tc.train_lr == 8e-5
+        assert tc.train_num_steps == 2_000_000
+        assert tc.gradient_accumulate_every == 2
+        assert not tc.calculate_fid
+        dc = C.DiffusionConfig()
+        assert dc.timesteps == 1000 and dc.sampling_timesteps == 250
+        assert dc.objective == "pred_x0" and dc.beta_schedule == "sigmoid"
+        mc = C.MaskTrainConfig()
+        assert mc.train_lr == 4e-5 and mc.lr_gamma == 0.95 and mc.epochs == 100
+        gc = C.GenerateConfig()
+        assert gc.batch_size == 4 and gc.memory_voxel_size == 0.002
+
+    def test_cli_override_roundtrip(self):
+        parser = argparse.ArgumentParser()
+        C.add_dataclass_args(parser, C.TrainConfig)
+        args = parser.parse_args(
+            ["--train_batch_size", "8", "--calculate_fid", "true",
+             "--data", "/tmp/x"])
+        tc = C.from_args(args, C.TrainConfig)
+        assert tc.train_batch_size == 8
+        assert tc.calculate_fid is True
+        assert tc.data == "/tmp/x"
+        assert tc.train_lr == 8e-5  # untouched default
+
+    def test_tuple_field(self):
+        parser = argparse.ArgumentParser()
+        C.add_dataclass_args(parser, C.ModelConfig)
+        args = parser.parse_args(["--dim_mults", "1,2"])
+        mc = C.from_args(args, C.ModelConfig)
+        assert mc.dim_mults == (1, 2)
+
+
+class TestRemat:
+    def test_remat_output_matches(self):
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 1))
+        t = jnp.array([5.0])
+        pc = jnp.ones((1, 4)) * 100
+        base = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        params = base.init(jax.random.PRNGKey(1), x, t, pc)
+        rem = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1, remat=True)
+        y0 = base.apply(params, x, t, pc)
+        y1 = rem.apply(params, x, t, pc)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_remat_grads_match(self):
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 1))
+        t = jnp.array([3.0])
+        pc = jnp.ones((1, 4))
+        base = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        rem = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1, remat=True)
+        params = base.init(jax.random.PRNGKey(3), x, t, pc)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, t, pc) ** 2)
+
+        g0 = jax.grad(lambda p: loss(base, p))(params)
+        g1 = jax.grad(lambda p: loss(rem, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            # remat reorders float accumulation; grads agree to ~1e-4 rel
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-2)
+
+
+class TestStageTimer:
+    def test_accumulates(self):
+        timer = StageTimer()
+        with timer.stage("a"):
+            pass
+        with timer.stage("a"):
+            pass
+        with timer.stage("b"):
+            pass
+        totals = timer.totals()
+        assert set(totals) == {"a", "b"}
+        assert "a:" in timer.summary()
+        timer.reset()
+        assert timer.totals() == {}
