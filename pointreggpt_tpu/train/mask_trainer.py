@@ -131,8 +131,9 @@ class MaskTrainer:
             return MaskTrainState(state.epoch, state.step + 1, params,
                                   opt_state), loss
 
-        donate = (0,) if jax.default_backend() != "cpu" else ()
-        return jax.jit(step, donate_argnums=donate)
+        # donation disabled: XLA-CPU rendezvous deadlock + axon TPU
+        # InvalidArgument (see train/trainer.py)
+        return jax.jit(step)
 
     def _eval_step_impl(self, params, batch):
         prob = self.model.apply(params, batch["input_img"])

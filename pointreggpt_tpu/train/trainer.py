@@ -202,10 +202,11 @@ class Trainer:
             return TrainState(state.step + 1, params, opt_state,
                               ema), loss_sum / accum
 
-        # buffer donation deadlocks XLA-CPU collective rendezvous (fake
-        # multi-device meshes); donate only on real accelerators.
-        donate = (0,) if jax.default_backend() != "cpu" else ()
-        return jax.jit(train_step, donate_argnums=donate)
+        # Buffer donation is disabled: it deadlocks the XLA-CPU collective
+        # rendezvous (fake multi-device meshes) AND the axon TPU runtime
+        # rejects donated-buffer programs with InvalidArgument. The state is
+        # ~0.5 GB; XLA reuses buffers well enough without donation here.
+        return jax.jit(train_step)
 
     # ------------------------------------------------------------------
     def _reshape_accum(self, batch: Dict[str, np.ndarray]):
