@@ -415,3 +415,32 @@ def point_cloud_np(depth: np.ndarray,
     y = (r - cy) * z / fy
     pc = np.stack([x, y, z], axis=-1).reshape(-1, 3)
     return pc[valid.reshape(-1)].astype(np.float32)
+
+
+def depth_image_np(pc: np.ndarray,
+                   intrinsic: np.ndarray,
+                   image_size: Tuple[int, int] = (480, 640)):
+    """Forward-project a host point array to a depth image + mask.
+
+    Inventory-parity port of the reference's ``depth_image`` (sdd:146-173,
+    dead code there) with its row/column transposition bug fixed: pixels are
+    indexed ``[row, col]`` and ties resolve nearest-point-wins (consistent
+    with :func:`points_to_depth`). Host-side convenience only — the device
+    path is :func:`points_to_depth`.
+
+    Returns:
+        (depth (h, w) float32, mask (h, w) bool).
+    """
+    rows, cols = image_size
+    fx, fy = intrinsic[0][0], intrinsic[1][1]
+    cx, cy = intrinsic[0][2], intrinsic[1][2]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.round(x * fx / np.where(z == 0, 1, z) + cx).astype(np.int64)
+        r = np.round(y * fy / np.where(z == 0, 1, z) + cy).astype(np.int64)
+    ok = (c >= 0) & (c < cols) & (r >= 0) & (r < rows) & (z > 0)
+    depth = np.full((rows, cols), np.inf, np.float32)
+    np.minimum.at(depth, (r[ok], c[ok]), z[ok].astype(np.float32))
+    mask = np.isfinite(depth)
+    depth = np.where(mask, depth, 0.0)
+    return depth, mask

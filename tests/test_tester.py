@@ -1,0 +1,93 @@
+"""End-to-end Tester tests (successive sampling + scene-memory generate)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointreggpt_tpu.core import geometry as G
+from pointreggpt_tpu.core import plyio
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.generate import Tester as SceneTester
+from pointreggpt_tpu.models import DiffusionUNet
+from pointreggpt_tpu.train import checkpoint as ckpt
+from pointreggpt_tpu.train import ema as ema_lib
+
+
+def make_tester(tmp_path, image_size=32, sampling_timesteps=2):
+    model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+    diffusion = GaussianDiffusion(
+        apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+        image_size=image_size, timesteps=8,
+        sampling_timesteps=sampling_timesteps, objective="pred_x0",
+        beta_schedule="sigmoid", ddim_sampling_eta=1.0)
+    tester = SceneTester(model, diffusion, batch_size=2,
+                    results_folder=str(tmp_path / "results"),
+                    samples_folder=str(tmp_path / "samples"))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, image_size, image_size, 1)),
+                        jnp.zeros((1,)), jnp.zeros((1, 4)))
+    ckpt.save_checkpoint(
+        tmp_path / "results/model-7.ckpt",
+        {"params": params, "ema": ema_lib.init(params)._asdict()})
+    tester.load(7)
+    return tester
+
+
+@pytest.mark.slow
+class TestTester:
+    def test_sample_outputs(self, tmp_path):
+        tester = make_tester(tmp_path)
+        tester.sample(num_scenes=2, num_samples=2)
+        samples = tmp_path / "samples"
+        for sid in (0, 1):
+            # unconditional first frame: triptych + PLY + intrinsics
+            assert (samples / f"scene-{sid}-sample-0.png").exists()
+            assert (samples / f"scene-{sid}-sample-0.ply").exists()
+            assert (samples / f"scene-{sid}-camera-intrinsics.txt").exists()
+            # successive frame outputs
+            assert (samples / f"scene-{sid}-sample-1.png").exists()
+            assert (samples / f"scene-{sid}-sample-1.ply").exists()
+        # triptych is 3x wide
+        from PIL import Image
+        img = Image.open(samples / "scene-0-sample-1.png")
+        assert img.size == (32 * 3, 32)
+        # intrinsics parse back
+        k = np.loadtxt(samples / "scene-0-camera-intrinsics.txt")
+        assert k.shape == (3, 3) and k[2, 2] == 1.0
+
+    def test_sample_uncondition_grid(self, tmp_path):
+        tester = make_tester(tmp_path)
+        images = tester.sample_uncondition(num_samples=4)
+        assert images.shape == (4, 32, 32, 1)
+        assert (tmp_path / "samples/unconditional.png").exists()
+
+    def test_generate_scene_memory(self, tmp_path):
+        tester = make_tester(tmp_path)
+        tester.generate(num_scenes=2, num_samples=2, voxel_size=0.05,
+                        memory_capacity=4096)
+        samples = tmp_path / "samples"
+        for sid in (0, 1):
+            assert (samples / f"scene-{sid}-sample-0.png").exists()
+            assert (samples / f"scene-{sid}-sample-1.png").exists()
+            mem = plyio.read_ply(samples / f"scene-{sid}-memory.ply")
+            assert mem.shape[1] == 3
+
+
+class TestDepthImageNp:
+    def test_roundtrip_with_point_cloud_np(self):
+        k = np.array([[80.0, 0, 16.0], [0, 80.0, 12.0], [0, 0, 1.0]])
+        rng = np.random.default_rng(0)
+        depth = rng.uniform(1.0, 3.0, (24, 32)).astype(np.float32)
+        pc = G.point_cloud_np(depth, k)
+        back, mask = G.depth_image_np(pc, k, image_size=(24, 32))
+        assert mask.all()
+        np.testing.assert_allclose(back, depth, rtol=1e-5)
+
+    def test_zbuffer_min_wins(self):
+        k = np.array([[1.0, 0, 0.0], [0, 1.0, 0.0], [0, 0, 1.0]])
+        pc = np.array([[0, 0, 3.0], [0, 0, 1.5]])
+        depth, mask = G.depth_image_np(pc, k, image_size=(2, 2))
+        assert depth[0, 0] == 1.5 and mask[0, 0]
