@@ -249,14 +249,25 @@ class PrefetchLoader:
                 return
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer():
+            # item decodes fan out over a thread pool (PNG decode is the
+            # host hot path; PIL/zlib release the GIL)
             try:
-                for batch_idx in self._index_batches():
-                    items = [self.dataset[i] for i in batch_idx]
-                    q.put(collate(items))
+                if self.num_workers > 1:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for batch_idx in self._index_batches():
+                            items = list(
+                                pool.map(self.dataset.__getitem__, batch_idx))
+                            q.put(collate(items))
+                else:
+                    for batch_idx in self._index_batches():
+                        items = [self.dataset[i] for i in batch_idx]
+                        q.put(collate(items))
             finally:
                 q.put(sentinel)
 

@@ -204,3 +204,36 @@ class TestGenerator:
         gen.generate(0, 1, num_samples=1, has_refine_step=False,
                      info_train=info)
         assert "Skip" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+class TestMakeDepthCorrectionData:
+    def test_builder_output_feeds_trainer(self, tmp_path, monkeypatch):
+        import subprocess
+        import sys
+
+        folder, info = make_3dmatch_tree(tmp_path, n_scenes=2)
+        import pickle
+        info_pkl = tmp_path / "train_info.pkl"
+        info_pkl.write_bytes(pickle.dumps(info))
+        out = tmp_path / "dc_data"
+        env = dict(os.environ, PRGPT_PLATFORM="cpu")
+        r = subprocess.run(
+            [sys.executable, "cli/make_depth_correction_data.py",
+             "--data", folder, "--train_info", str(info_pkl),
+             "--data_root", str(tmp_path / "dataset/indoor/data"),
+             "--out", str(out), "--image_size", "32",
+             "--num_pairs", "2", "--val_fraction", "0.5"],
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json as _json
+        train = _json.loads((out / "metadata/train.json").read_text())
+        val = _json.loads((out / "metadata/val.json").read_text())
+        assert len(train) == 1 and len(val) == 1
+        # pairs load through PairedDepthDataset's contract
+        from pointreggpt_tpu.data import PairedDepthDataset
+        ds = PairedDepthDataset(str(out), "train", 32)
+        item = ds[0]
+        assert item["input_img"].shape == (32, 32, 1)
+        assert item["mask"].min() >= 0 and item["mask"].max() <= 1
