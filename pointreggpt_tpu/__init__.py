@@ -15,12 +15,22 @@ re-projection). This package re-designs every component TPU-first:
 - ``train``     trainers (diffusion + mask), EMA, checkpointing, metrics
 - ``data``      host-side dataset pipelines feeding the device
 - ``generate``  the dataset factory (Generator, Tester, gt.log overlap)
+- ``dataloaders`` downstream mixture datasets (Predator/CoFiNet/GeoTrans)
 - ``eval``      FID and qualitative eval helpers
+- ``native``    ctypes bindings to the C++ host runtime (native/)
 
 Reference implementation surveyed in /root/repo/SURVEY.md; all ``Reference:``
 docstring citations point into the upstream PyTorch repo layout
 (denoising_diffusion_pytorch/successive_ddnm_diffusion.py = "sdd",
-depth_correction_pytorch/depth_correction.py = "dc").
+depth_correction_pytorch/depth_correction.py = "dc"). PARITY.md maps the
+full component inventory.
 """
 
 __version__ = "0.1.0"
+
+# Public API re-exports (lazy-friendly: these imports are lightweight;
+# heavy deps like flax load on first model construction).
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
+
+__all__ = ["DiffusionUNet", "MaskUNet", "GaussianDiffusion", "__version__"]

@@ -192,3 +192,43 @@ class TestMaskTrainer:
         # resume: epoch advances
         trainer.load("latest")
         assert int(trainer.state.epoch) == 1
+
+
+@pytest.mark.slow
+class TestMaskTester:
+    def test_gif_outputs(self, tmp_path):
+        # synthetic 3DMatch test tree (reuses the generator fixtures)
+        import sys
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_generate import make_3dmatch_tree
+
+        from pointreggpt_tpu.train import MaskTester
+        from pointreggpt_tpu.train import checkpoint as _ckpt
+
+        folder, info = make_3dmatch_tree(tmp_path, n_scenes=1)
+        model = MaskUNet(dim=8, dim_mults=(1, 2))
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+        _ckpt.save_checkpoint(tmp_path / "results/model-best.ckpt",
+                              {"epoch": 0, "params": params})
+        tester = MaskTester(
+            model, folder, info=info, image_size=32,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "samples"))
+        # point the dataset at the synthetic info files
+        from pointreggpt_tpu.data import TestDataset
+        import pointreggpt_tpu.train.mask_trainer as mt
+
+        orig = mt.TestDataset
+
+        def patched(info_, folder_, image_size, **kw):
+            return orig(info_, folder_, image_size,
+                        data_root=str(tmp_path / "dataset/indoor/data"))
+
+        mt.TestDataset = patched
+        try:
+            tester.load("best")
+            tester.test(limit=1)
+        finally:
+            mt.TestDataset = orig
+        assert (tmp_path / "samples/000000-input.gif").exists()
+        assert (tmp_path / "samples/000000-output.gif").exists()
