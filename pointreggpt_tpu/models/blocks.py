@@ -137,24 +137,28 @@ class RandomOrLearnedSinusoidalPosEmb(nn.Module):
 class Block(nn.Module):
     """WSConv3x3 -> GroupNorm(8) -> optional (scale+1, shift) -> SiLU.
 
-    Reference: sdd:681-697.
+    Reference: sdd:681-697. GroupNorm statistics are always computed in
+    float32 (flax promotes internally); ``norm_dtype`` only controls the
+    dtype the normalized activations are materialized in — bf16 halves the
+    HBM traffic of the norm/scale-shift/SiLU chain on TPU.
     """
 
     dim_out: int
     groups: int = 8
     dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array,
                  scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
+        nd = self.norm_dtype
         x = WSConv(self.dim_out, (3, 3), dtype=self.dtype, name="proj")(x)
         x = nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
-            name="norm")(x.astype(jnp.float32))
+            num_groups=self.groups, epsilon=1e-5, dtype=nd,
+            name="norm")(x.astype(nd))
         if scale_shift is not None:
             scale, shift = scale_shift
-            x = x * (scale.astype(jnp.float32) + 1.0) + shift.astype(
-                jnp.float32)
+            x = x * (scale.astype(nd) + 1.0) + shift.astype(nd)
         return nn.silu(x).astype(self.dtype)
 
 
@@ -170,6 +174,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     use_cond: bool = False
     dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self,
@@ -183,9 +188,10 @@ class ResnetBlock(nn.Module):
             h_emb = h_emb[:, None, None, :]
             scale_shift = jnp.split(h_emb, 2, axis=-1)
 
-        h = Block(self.dim_out, self.groups, self.dtype,
+        h = Block(self.dim_out, self.groups, self.dtype, self.norm_dtype,
                   name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        h = Block(self.dim_out, self.groups, self.dtype, self.norm_dtype,
+                  name="block2")(h)
 
         if x.shape[-1] != self.dim_out:
             x = nn.Dense(self.dim_out, dtype=self.dtype, name="res_conv")(x)

@@ -59,6 +59,7 @@ class DiffusionUNet(nn.Module):
     channels: int = 1
     resnet_block_groups: int = 8
     dtype: Dtype = jnp.float32
+    norm_dtype: Dtype = jnp.float32  # bf16 halves norm-chain HBM traffic
     remat: bool = False  # rematerialize ResnetBlocks (training memory)
 
     @nn.compact
@@ -108,9 +109,11 @@ class DiffusionUNet(nn.Module):
         for i, (dim_in, dim_out_i) in enumerate(in_out):
             is_last = i >= num_res - 1
             x = ResBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
                             name=f"down_{i}_block1")(x, cond)
             hs.append(x)
             x = ResBlock(dim_in, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
                             name=f"down_{i}_block2")(x, cond)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"down_{i}_attn_inner"),
@@ -125,11 +128,13 @@ class DiffusionUNet(nn.Module):
 
         mid_dim = dims[-1]
         x = ResBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
                         name="mid_block1")(x, cond)
         x = PreNormResidual(
             Attention(dtype=self.dtype, name="mid_attn_inner"),
             dtype=self.dtype, name="mid_attn")(x)
         x = ResBlock(mid_dim, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
                         name="mid_block2")(x, cond)
 
         for i, (dim_in, dim_out_i) in enumerate(reversed(in_out)):
@@ -152,6 +157,7 @@ class DiffusionUNet(nn.Module):
 
         x = jnp.concatenate([x, r], axis=-1)
         x = ResBlock(self.dim, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
                         name="final_res_block")(x, cond)
         x = nn.Dense(out_dim, dtype=jnp.float32, name="final_conv")(
             x.astype(jnp.float32))
