@@ -23,13 +23,18 @@ def calculate_frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
     Matches pytorch_fid's implementation semantics (trace-sqrtm form with
     the eps-jitter fallback for singular covariances).
     """
+    import warnings
+
     from scipy import linalg
 
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    with warnings.catch_warnings():
+        # singular products are expected and handled by the eps fallback
+        warnings.simplefilter("ignore")
+        covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
