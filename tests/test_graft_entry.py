@@ -1,0 +1,45 @@
+"""Driver-contract tests for __graft_entry__.
+
+The driver imports the module (possibly with JAX already bound to a non-CPU
+platform) and calls ``dryrun_multichip(8)``; that call must self-provision a
+fake 8-device CPU mesh. VERDICT.md round 1 recorded this as the only red
+artifact — guard it with the exact driver-style invocation.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_entry_shapes():
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+        fn, args = __graft_entry__.entry()
+        import jax
+        out = jax.eval_shape(fn, *args)
+        assert out.shape == (1, 256, 256, 1)
+    finally:
+        sys.path.remove(REPO)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_self_provisions():
+    """Call dryrun_multichip(4) the way the driver does, from a parent whose
+    env does NOT pre-provision fake devices. 4 devices keeps the inner
+    subprocess cheap; the provisioning logic is device-count-agnostic."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # parent must not leak provisioning
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import __graft_entry__; "
+            "__graft_entry__.dryrun_multichip(4); "
+            "print('GATE-OK')")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "GATE-OK" in proc.stdout
+    assert "one DP train step OK" in proc.stdout
