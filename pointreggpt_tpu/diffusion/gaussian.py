@@ -215,9 +215,16 @@ class GaussianDiffusion:
     # -- training loss (sdd:1448-1510) --------------------------------------
 
     def p_losses(self, params, key: Array, x_start: Array, t: Array,
-                 param_cond: Array) -> Array:
-        """Per-batch SNR-weighted L1/L2 denoising loss."""
-        noise = jax.random.normal(key, x_start.shape, x_start.dtype)
+                 param_cond: Array,
+                 noise: Optional[Array] = None) -> Array:
+        """Per-batch SNR-weighted L1/L2 denoising loss.
+
+        ``noise`` defaults to a fresh draw from ``key``; injecting it
+        explicitly mirrors the reference's ``p_losses(..., noise=)`` kwarg
+        (sdd:1464-1466) and enables exact loss parity tests.
+        """
+        if noise is None:
+            noise = jax.random.normal(key, x_start.shape, x_start.dtype)
         x = self.q_sample(x_start, t, noise)
         model_out = self.apply_fn(params, x, t, param_cond)
 
