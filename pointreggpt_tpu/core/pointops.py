@@ -106,6 +106,50 @@ def voxel_downsample(
     return out_points, out_valid
 
 
+def keep_nearest(points: Array, valid: Array,
+                 capacity: int) -> Tuple[Array, Array, Array]:
+    """Bound a padded cloud to ``capacity`` points, keeping those nearest
+    the origin; report how many valid points were dropped.
+
+    Deterministic replacement for silent ``[:capacity]`` truncation of the
+    scene-memory cloud (the reference's memory grows without bound and is
+    re-voxelized on host, sdd:2660-2680; a fixed-capacity device buffer must
+    pick *which* geometry to drop, and nearest-to-origin keeps the content
+    inside the generation bbox, which is centered on the first camera).
+    Ties break by index (``lax.top_k`` is stable), so the policy is fully
+    deterministic.
+
+    Args:
+        points: (..., n, 3).
+        valid: (..., n) bool.
+        capacity: output size along the point axis.
+
+    Returns:
+        out_points: (..., capacity, 3).
+        out_valid:  (..., capacity) bool.
+        overflow:   (...,) int32 — number of valid points dropped (0 if the
+            cloud fit).
+    """
+    n = points.shape[-2]
+    occupied = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    if capacity >= n:
+        pad = capacity - n
+        if pad:
+            pad_pts = jnp.zeros(points.shape[:-2] + (pad, 3), points.dtype)
+            pad_val = jnp.zeros(valid.shape[:-1] + (pad,), bool)
+            points = jnp.concatenate([points, pad_pts], axis=-2)
+            valid = jnp.concatenate([valid, pad_val], axis=-1)
+        return points, valid, jnp.zeros_like(occupied)
+
+    d2 = jnp.sum(points * points, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    _, idx = lax.top_k(-d2, capacity)
+    out_points = jnp.take_along_axis(points, idx[..., None], axis=-2)
+    out_valid = jnp.take_along_axis(valid, idx, axis=-1)
+    overflow = jnp.maximum(occupied - capacity, 0)
+    return out_points, out_valid, overflow
+
+
 def _block_scan_hits(src: Array, src_valid: Array, tgt: Array,
                      tgt_valid: Array, radius_sq: Array,
                      block: int) -> Array:

@@ -42,6 +42,11 @@ class DepthDataset:
         gt_log: frame list file; defaults to the reference's hard-coded
             ``./dataset/3DMatch/metadata/gt.log`` (sdd:1524).
         augment_horizontal_flip: random h-flip (applied by the loader).
+        seed: augmentation seed. The flip decision is a pure function of
+            (seed, epoch, index) — unlike the reference's unseeded global
+            RNG (RandomHorizontalFlip, sdd:1546) — so a run is bit-for-bit
+            reproducible and each epoch still sees fresh flips. The epoch
+            is advanced by the loader via :meth:`set_epoch`.
     """
 
     def __init__(self,
@@ -49,10 +54,13 @@ class DepthDataset:
                  image_size: int,
                  *,
                  gt_log: str = "./dataset/3DMatch/metadata/gt.log",
-                 augment_horizontal_flip: bool = False):
+                 augment_horizontal_flip: bool = False,
+                 seed: int = 0):
         self.folder = folder
         self.image_size = image_size
         self.augment_horizontal_flip = augment_horizontal_flip
+        self.seed = seed
+        self._epoch = 0
         self.paths: List[Path] = []
         with open(gt_log, "r") as f:
             for line in f.readlines():
@@ -74,9 +82,15 @@ class DepthDataset:
                 centercrop=self.image_size).astype(np.float32)
         return self._intrinsic_cache[key]
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation epoch (called by PrefetchLoader)."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         path = self.paths[index]
-        flip = self.augment_horizontal_flip and np.random.rand() < 0.5
+        flip = self.augment_horizontal_flip and (
+            np.random.default_rng(
+                (self.seed, self._epoch, index)).random() < 0.5)
         img = imageio16.load_depth_model_space(path, self.image_size,
                                                flip=flip)
         return {
@@ -237,6 +251,12 @@ class PrefetchLoader:
         rng = np.random.default_rng(self.seed)
         epoch = 0
         while True:
+            # deterministic augmentation: datasets that derive their RNG
+            # from (seed, epoch, index) learn the epoch here, before any
+            # of the epoch's batches are decoded
+            set_epoch = getattr(self.dataset, "set_epoch", None)
+            if set_epoch is not None:
+                set_epoch(epoch)
             idx = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(idx)

@@ -136,7 +136,8 @@ class Generator:
             pts = G.transform_points(mem_pts, pose)
             depth_rpj, mask_rpj = G.points_to_depth(
                 pts, mem_valid, intrinsic, image_size=(H, H))
-            images_rpj = depth_rpj * 0.1  # meters -> [0,1] model units
+            images_raw = depth_rpj * 0.1  # meters -> [0,1] model units
+            images_rpj = images_raw
 
             # depth correction #1 (sdd:2563-2567)
             if dc_model is not None:
@@ -172,11 +173,11 @@ class Generator:
             down, down_valid = jax.vmap(
                 lambda p, v: P.voxel_downsample(p, v, memory_voxel))(
                     merged, merged_valid)
-            mem_pts_new = down[:, :cap]
-            mem_valid_new = down_valid[:, :cap]
+            mem_pts_new, mem_valid_new, overflow = P.keep_nearest(
+                down, down_valid, cap)
 
-            return (pose, images_rpj, images, world, new_valid, mem_pts_new,
-                    mem_valid_new)
+            return (pose, images_raw, images_rpj, images, world, new_valid,
+                    mem_pts_new, mem_valid_new, overflow)
 
         return jax.jit(step)
 
@@ -292,16 +293,26 @@ class Generator:
             # --- successive conditional generation ----------------------
             for sample_idx in range(num_samples):
                 key, sub = jax.random.split(key)
-                (pose, images_rpj, images, world, world_valid, mem_pts_j,
-                 mem_valid_j) = step_fn(self.ema_params, self.dc_params,
-                                        mem_pts_j, mem_valid_j, intr_j,
-                                        param_cond, sub)
+                (pose, images_raw, images_rpj, images, world, world_valid,
+                 mem_pts_j, mem_valid_j, overflow) = step_fn(
+                     self.ema_params, self.dc_params, mem_pts_j, mem_valid_j,
+                     intr_j, param_cond, sub)
 
                 pose_np = np.asarray(pose)
                 images_np = np.asarray(images)
+                images_raw_np = np.asarray(images_raw)
                 images_rpj_np = np.asarray(images_rpj)
                 world_np = np.asarray(world)
                 world_valid_np = np.asarray(world_valid)
+                overflow_np = np.asarray(overflow)
+                # scene memory is bounded (the reference's grows without
+                # bound, sdd:2660-2680); on overflow the farthest-from-origin
+                # voxels were dropped deterministically — surface it
+                for i, dropped in enumerate(overflow_np):
+                    if dropped > 0:
+                        print(f"WARNING: scene {chunk[i]:0>6d} memory "
+                              f"overflow: dropped {int(dropped)} "
+                              f"farthest-from-origin voxels (capacity {cap})")
 
                 for i, sid in enumerate(chunk):
                     scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
@@ -310,11 +321,15 @@ class Generator:
                     # pose (inverse, sdd:2593-2594)
                     np.savetxt(scene_dir / f"sample-{out_idx:0>6d}.pose.txt",
                                np.linalg.inv(pose_np[i]))
-                    # debug snapshots (reprojected/corrected, sdd:2554-2602)
+                    # debug snapshots: pre-correction splat (sdd:2554-2560)
+                    # and post-correction condition (sdd:2597-2602)
                     from PIL import Image
-                    Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
+                    Image.fromarray((np.clip(images_raw_np[i], 0, 1) *
                                      255).astype(np.uint8)).save(
                                          scene_dir / "reprojected.image.png")
+                    Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
+                                     255).astype(np.uint8)).save(
+                                         scene_dir / "corrected.image.png")
                     img01 = images_np[i, ..., 0]
                     Image.fromarray(
                         (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(

@@ -224,7 +224,10 @@ class Tester:
             down, down_valid = jax.vmap(
                 lambda p, v: P.voxel_downsample(p, v, voxel_size))(
                     merged, merged_valid)
-            return down[:, :memory_capacity], down_valid[:, :memory_capacity]
+            # bounded memory: deterministic nearest-to-origin keep + count
+            # of dropped voxels (vs the reference's unbounded growth,
+            # sdd:2660-2680)
+            return P.keep_nearest(down, down_valid, memory_capacity)
 
         while done < num_scenes:
             batch = min(self.batch_size, num_scenes - done)
@@ -266,8 +269,14 @@ class Tester:
                 images = np.asarray(
                     self._sample_fn(self.ema_params, k_s, param_cond,
                                     img_cond))
-                mem_pts, mem_valid = update_memory(
+                mem_pts, mem_valid, overflow = update_memory(
                     mem_pts, mem_valid, jnp.asarray(images), pose, intr_j)
+                for scene_idx, dropped in enumerate(np.asarray(overflow)):
+                    if dropped > 0:
+                        sid = b_idx * self.batch_size + scene_idx
+                        print(f"WARNING: scene {sid} memory overflow: "
+                              f"dropped {int(dropped)} farthest voxels "
+                              f"(capacity {memory_capacity})")
 
                 for scene_idx in range(batch):
                     sid = b_idx * self.batch_size + scene_idx

@@ -140,11 +140,13 @@ class DiffusionUNet(nn.Module):
         for i, (dim_in, dim_out_i) in enumerate(reversed(in_out)):
             is_last = i == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResBlock(dim_out_i, groups, use_cond=True,
-                            dtype=self.dtype, name=f"up_{i}_block1")(x, cond)
+            x = ResBlock(dim_out_i, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
+                            name=f"up_{i}_block1")(x, cond)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResBlock(dim_out_i, groups, use_cond=True,
-                            dtype=self.dtype, name=f"up_{i}_block2")(x, cond)
+            x = ResBlock(dim_out_i, groups, use_cond=True, dtype=self.dtype,
+                         norm_dtype=self.norm_dtype,
+                            name=f"up_{i}_block2")(x, cond)
             x = PreNormResidual(
                 LinearAttention(dtype=self.dtype, name=f"up_{i}_attn_inner"),
                 dtype=self.dtype, name=f"up_{i}_attn")(x)

@@ -165,6 +165,10 @@ class TestGenerator:
             assert (scene / "sample-000001.image.png").exists()
             assert (scene / "sample-000001.depth.png").exists()
             assert (scene / "sample-000001.cloud.ply").exists()
+            # both debug snapshots: pre-correction splat (sdd:2554-2560)
+            # and post-correction condition (sdd:2597-2602)
+            assert (scene / "reprojected.image.png").exists()
+            assert (scene / "corrected.image.png").exists()
             # pose file holds an invertible SE(3)
             pose = np.loadtxt(scene / "sample-000001.pose.txt")
             assert pose.shape == (4, 4)

@@ -159,3 +159,28 @@ class TestMaskUNet:
         y = model.apply(params, x)
         assert y.shape == (2, 16, 16, 1)
         assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+class TestNormDtypePlumbing:
+    def test_norm_dtype_reaches_every_resblock(self, monkeypatch):
+        """Regression for VERDICT r1 weak #4: up-path ResBlocks silently
+        dropped ``norm_dtype``, so the flag applied to only half the net."""
+        from pointreggpt_tpu.models import unet as unet_mod
+
+        seen = {}
+        real = unet_mod.ResnetBlock
+
+        def spy(*args, **kwargs):
+            seen[kwargs.get("name")] = kwargs.get("norm_dtype", "MISSING")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(unet_mod, "ResnetBlock", spy)
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              norm_dtype=jnp.bfloat16)
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                   jnp.zeros((1,)), jnp.zeros((1, 4)))
+
+        resblocks = [k for k in seen if "block" in k]
+        assert len(resblocks) == 2 * 2 + 2 + 2 * 2 + 1  # down/mid/up/final
+        bad = {k: v for k, v in seen.items() if v is not jnp.bfloat16}
+        assert not bad, f"ResBlocks missing norm_dtype: {bad}"

@@ -214,3 +214,54 @@ class TestSampling:
         cands = S.INTRINSIC_CANDIDATES
         for ki in k:
             assert any(np.allclose(ki, c) for c in cands)
+
+
+class TestKeepNearest:
+    def test_overflow_drops_farthest_deterministically(self):
+        from pointreggpt_tpu.core.pointops import keep_nearest
+
+        pts = jnp.asarray(
+            np.array([[0.1, 0, 0], [3.0, 0, 0], [0, 0.2, 0], [0, 0, 2.0],
+                      [0.3, 0.3, 0.3], [9.0, 9.0, 9.0]], np.float32))
+        valid = jnp.asarray([True, True, True, True, True, False])
+        out, ov, overflow = keep_nearest(pts, valid, 3)
+        assert out.shape == (3, 3) and ov.shape == (3,)
+        assert int(overflow) == 2  # 5 valid - 3 kept
+        kept = np.asarray(out)[np.asarray(ov)]
+        # the three nearest-to-origin survive (sorted by distance)
+        expect = np.array([[0.1, 0, 0], [0, 0.2, 0], [0.3, 0.3, 0.3]],
+                          np.float32)
+        order = np.argsort(np.sum(kept**2, axis=-1))
+        np.testing.assert_allclose(kept[order], expect, atol=1e-6)
+        # pure function: same inputs, same result
+        out2, ov2, overflow2 = keep_nearest(pts, valid, 3)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_underflow_pads_and_reports_zero(self):
+        from pointreggpt_tpu.core.pointops import keep_nearest
+
+        pts = jnp.asarray(np.array([[1, 0, 0], [0, 2, 0]], np.float32))
+        valid = jnp.asarray([True, False])
+        out, ov, overflow = keep_nearest(pts, valid, 5)
+        assert out.shape == (5, 3)
+        assert int(overflow) == 0
+        assert int(ov.sum()) == 1
+
+    def test_batched_with_capacity_smaller_than_n(self):
+        from pointreggpt_tpu.core.pointops import keep_nearest
+
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(size=(2, 32)) > 0.3)
+        out, ov, overflow = keep_nearest(pts, valid, 8)
+        assert out.shape == (2, 8, 3) and ov.shape == (2, 8)
+        occ = np.asarray(valid).sum(axis=1)
+        np.testing.assert_array_equal(np.asarray(overflow),
+                                      np.maximum(occ - 8, 0))
+        # kept distances are the smallest valid distances per batch
+        d2 = np.sum(np.asarray(pts) ** 2, axis=-1)
+        for b in range(2):
+            vd = np.sort(d2[b][np.asarray(valid)[b]])
+            kd = np.sort(np.sum(np.asarray(out)[b][np.asarray(ov)[b]]**2,
+                                axis=-1))
+            np.testing.assert_allclose(kd, vd[:len(kd)], rtol=1e-6)
