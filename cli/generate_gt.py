@@ -2,24 +2,42 @@
 
 Mirror of the reference entry point (generate_gt.py:1-195), with the
 KD-tree Python loops replaced by the tiled TPU pairwise-distance kernel.
+All overlap constants (min points, min overlap, voxel, radius factor) are
+declarative ``--flags``.
 """
 
 import argparse
 
 import _path  # noqa: F401
 
-from pointreggpt_tpu.generate import gather_gt, generate_gt
+from pointreggpt_tpu import config as C
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--dataset_name", default="generated_dataset", type=str,
-                    required=True)
-parser.add_argument("--start_scene_index", "-start", default=0, type=int)
-parser.add_argument("--stop_scene_index", "-stop", default=1, type=int)
-parser.add_argument("--num_samples", default=2, type=int,
-                    help="sample clouds per scene")
-parser.add_argument("--disable_tqdm", action="store_true")
-args = parser.parse_args()
 
-generate_gt(args.dataset_name, args.start_scene_index, args.stop_scene_index,
-            args.num_samples, verbose=not args.disable_tqdm)
-gather_gt(args.dataset_name, args.start_scene_index, args.stop_scene_index)
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--start_scene_index", "-start", default=0, type=int)
+    parser.add_argument("--stop_scene_index", "-stop", default=1, type=int)
+    parser.add_argument("--disable_tqdm", action="store_true",
+                        help="silence per-pair progress prints (flag name "
+                             "kept for reference CLI parity)")
+    C.add_dataclass_args(parser, C.GtLogConfig)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from pointreggpt_tpu.generate import gather_gt, generate_gt
+
+    cfg = C.from_args(args, C.GtLogConfig)
+    generate_gt(cfg.dataset_name, args.start_scene_index,
+                args.stop_scene_index, cfg.num_samples,
+                min_points=cfg.min_points, min_overlap=cfg.min_overlap,
+                voxel_size=cfg.voxel_size, overlap_factor=cfg.overlap_factor,
+                verbose=not args.disable_tqdm)
+    gather_gt(cfg.dataset_name, args.start_scene_index,
+              args.stop_scene_index)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,49 +1,55 @@
 """Qualitative successive sampling (quick 32-step DDIM config).
 
-Mirror of the reference entry point (test_successive_ddnm_diffusion.py:1-45).
+Mirror of the reference entry point (test_successive_ddnm_diffusion.py:1-45):
+same model, sampling_timesteps 32 and eta 1.0 as defaults, every config
+field exposed as a ``--flag``.
 """
 
 import argparse
 
 import _path  # noqa: F401
 
-import jax.numpy as jnp
+from pointreggpt_tpu import config as C
 
-from pointreggpt_tpu.diffusion import GaussianDiffusion
-from pointreggpt_tpu.generate import Tester
-from pointreggpt_tpu.models import DiffusionUNet
+TEST_DIFFUSION = C.DiffusionConfig(sampling_timesteps=32,
+                                   ddim_sampling_eta=1.0)
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--resume", default=None, type=str,
-                    help="checkpoint milestone to load")
-parser.add_argument("--num_scenes", default=4, type=int)
-parser.add_argument("--num_samples", default=4, type=int)
-parser.add_argument("--bf16", action="store_true")
-args = parser.parse_args()
 
-model = DiffusionUNet(
-    dim=64, param_cond_dim=4, dim_mults=(1, 2, 4, 8), channels=1,
-    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--resume", default=None, type=str,
+                        help="checkpoint milestone to load")
+    parser.add_argument("--num_scenes", default=4, type=int)
+    parser.add_argument("--num_samples", default=4, type=int)
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--results_folder",
+                        default="./successive_ddnm_diffusion_results")
+    parser.add_argument("--samples_folder",
+                        default="./successive_ddnm_diffusion_samples")
+    C.add_dataclass_args(parser, C.ModelConfig)
+    C.add_dataclass_args(parser, C.DiffusionConfig, defaults=TEST_DIFFUSION)
+    return parser
 
-diffusion = GaussianDiffusion(
-    apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
-    image_size=256,
-    timesteps=1000,
-    sampling_timesteps=32,
-    loss_type="l1",
-    objective="pred_x0",
-    beta_schedule="sigmoid",
-    ddim_sampling_eta=1.0,
-    is_ddnm_sampling=True,
-)
 
-tester = Tester(
-    model,
-    diffusion,
-    batch_size=4,
-    results_folder="./successive_ddnm_diffusion_results",
-    samples_folder="./successive_ddnm_diffusion_samples",
-)
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
-tester.load(args.resume)
-tester.sample(num_scenes=args.num_scenes, num_samples=args.num_samples)
+    from pointreggpt_tpu.generate import Tester
+
+    model = C.build_diffusion_unet(C.from_args(args, C.ModelConfig))
+    diffusion = C.build_diffusion(C.from_args(args, C.DiffusionConfig), model)
+
+    tester = Tester(
+        model,
+        diffusion,
+        batch_size=args.batch_size,
+        results_folder=args.results_folder,
+        samples_folder=args.samples_folder,
+    )
+
+    tester.load(args.resume)
+    tester.sample(num_scenes=args.num_scenes, num_samples=args.num_samples)
+
+
+if __name__ == "__main__":
+    main()

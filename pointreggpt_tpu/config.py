@@ -27,6 +27,17 @@ class ModelConfig:
     channels: int = 1
     resnet_block_groups: int = 8
     bf16: bool = True  # TPU MXU compute dtype
+    remat: bool = False  # ResnetBlock rematerialization (training memory)
+
+
+@dataclass(frozen=True)
+class MaskModelConfig:
+    """MaskUNet hyperparameters (train_depth_correction.py:12)."""
+
+    dim: int = 64
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
+    resnet_block_groups: int = 8
+    bf16: bool = False  # fp32 default: mask thresholding at 0.99 is tight
 
 
 @dataclass(frozen=True)
@@ -87,7 +98,9 @@ class GenerateConfig:
 
     data: str = "/path/to/3DMatch-RGBD/train"
     dataset_name: str = "generated_dataset"
-    batch_size: int = 4
+    # 8 scenes/batch is the profiled v5e sweet spot (the reference used 4
+    # for one GPU)
+    batch_size: int = 8
     num_samples: int = 1
     memory_voxel_size: float = 0.002
     save_voxel_size: float = 0.025
@@ -95,23 +108,45 @@ class GenerateConfig:
     memory_capacity: int = 1 << 18
     train_info_path: str = "./dataset/indoor/metadata/train_info.pkl"
     data_root: str = "./dataset/indoor/data"
+    results_folder: str = "./successive_ddnm_diffusion_results"
     seed: int = 0
 
 
+@dataclass(frozen=True)
+class GtLogConfig:
+    """gt.log overlap-metadata constants (generate_gt.py:68-155)."""
+
+    dataset_name: str = "generated_dataset"
+    num_samples: int = 2
+    min_points: int = 1000
+    min_overlap: float = 0.1
+    voxel_size: float = 0.025
+    overlap_factor: float = 1.5
+
+
 def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type[T],
-                       prefix: str = "") -> None:
-    """Register every dataclass field as an argparse flag."""
+                       prefix: str = "",
+                       defaults: Optional[T] = None) -> None:
+    """Register every dataclass field as an argparse flag.
+
+    Args:
+        defaults: an instance whose values override the class defaults
+            (e.g. the test CLI shares DiffusionConfig with sampling 32,
+            eta 1.0 as its entry-script defaults).
+    """
+    base = defaults if defaults is not None else cls()
     for f in fields(cls):
         name = f"--{prefix}{f.name}"
-        if f.type in ("bool", bool) or isinstance(f.default, bool):
+        default = getattr(base, f.name)
+        if isinstance(default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in
-                                ("1", "true", "yes"), default=f.default)
-        elif isinstance(f.default, tuple):
+                                ("1", "true", "yes"), default=default)
+        elif isinstance(default, tuple):
             parser.add_argument(
                 name, type=lambda s: tuple(int(x) for x in s.split(",")),
-                default=f.default)
+                default=default)
         else:
-            parser.add_argument(name, type=type(f.default), default=f.default)
+            parser.add_argument(name, type=type(default), default=default)
 
 
 def from_args(args: argparse.Namespace, cls: Type[T],
@@ -121,3 +156,52 @@ def from_args(args: argparse.Namespace, cls: Type[T],
     for f in fields(cls):
         kwargs[f.name] = getattr(args, f"{prefix}{f.name}")
     return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Factories: one place turning configs into live objects, shared by the CLIs
+# ---------------------------------------------------------------------------
+
+
+def build_diffusion_unet(cfg: ModelConfig):
+    """ModelConfig -> DiffusionUNet."""
+    import jax.numpy as jnp
+
+    from pointreggpt_tpu.models import DiffusionUNet
+
+    return DiffusionUNet(
+        dim=cfg.dim, param_cond_dim=cfg.param_cond_dim,
+        dim_mults=cfg.dim_mults, channels=cfg.channels,
+        resnet_block_groups=cfg.resnet_block_groups,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        remat=cfg.remat)
+
+
+def build_mask_unet(cfg: MaskModelConfig):
+    """MaskModelConfig -> MaskUNet."""
+    import jax.numpy as jnp
+
+    from pointreggpt_tpu.models import MaskUNet
+
+    return MaskUNet(
+        dim=cfg.dim, dim_mults=cfg.dim_mults,
+        resnet_block_groups=cfg.resnet_block_groups,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32)
+
+
+def build_diffusion(cfg: DiffusionConfig, model):
+    """DiffusionConfig + model -> GaussianDiffusion."""
+    from pointreggpt_tpu.diffusion import GaussianDiffusion
+
+    return GaussianDiffusion(
+        apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+        image_size=cfg.image_size,
+        timesteps=cfg.timesteps,
+        sampling_timesteps=cfg.sampling_timesteps,
+        loss_type=cfg.loss_type,
+        objective=cfg.objective,
+        beta_schedule=cfg.beta_schedule,
+        ddim_sampling_eta=cfg.ddim_sampling_eta,
+        is_ddnm_sampling=cfg.is_ddnm_sampling,
+        ddnm_sampling_dropout=cfg.ddnm_sampling_dropout,
+        ddnm_dropout_schedule=cfg.ddnm_dropout_schedule)

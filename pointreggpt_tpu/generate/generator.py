@@ -218,8 +218,17 @@ class Generator:
                  save_voxel_size: float = 0.025,
                  has_refine_step: bool = True,
                  info_train: Optional[Dict] = None,
+                 scene_indices: Optional[Sequence[int]] = None,
                  verbose: bool = True) -> None:
-        """Generate scenes [start, stop) with ``num_samples`` frames each."""
+        """Generate scenes [start, stop) with ``num_samples`` frames each.
+
+        Args:
+            scene_indices: explicit scene indices overriding the contiguous
+                [start, stop) range — multi-host runs pass each process's
+                strided slice (``parallel.local_scene_range``) so hosts
+                shard the range automatically instead of via manual
+                -start/-stop bookkeeping (generate_dataset.py:16-29).
+        """
         H = self.image_size
         cap = self.memory_capacity
         self._load_depth_correction()
@@ -230,9 +239,15 @@ class Generator:
                 info_train = pickle.load(f)
 
         step_fn = self._build_step_fn(has_refine_step, memory_voxel_size)
-        key = jax.random.PRNGKey(self.seed + start_scene_index)
+        # fold the process index so multi-host shards draw distinct poses
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + start_scene_index),
+            jax.process_index())
 
-        scene_indices = list(range(start_scene_index, stop_scene_index))
+        if scene_indices is None:
+            scene_indices = list(range(start_scene_index, stop_scene_index))
+        else:
+            scene_indices = list(scene_indices)
         for chunk_start in range(0, len(scene_indices), self.batch_size):
             chunk = scene_indices[chunk_start:chunk_start + self.batch_size]
             batch = len(chunk)

@@ -82,6 +82,10 @@ def generate_gt(dataset_name: str,
                 num_samples: int,
                 *,
                 root: Optional[str] = None,
+                min_points: int = MIN_POINTS,
+                min_overlap: float = MIN_OVERLAP,
+                voxel_size: float = 0.025,
+                overlap_factor: float = 1.5,
                 verbose: bool = True) -> None:
     """Write per-scene gt.log files (TSV: scene, src, tgt, ov_src, ov_tgt).
 
@@ -109,16 +113,18 @@ def generate_gt(dataset_name: str,
 
             src = plyio.read_ply(src_path).astype(np.float32)
             tgt = plyio.read_ply(tgt_path).astype(np.float32)
-            if src.shape[0] < MIN_POINTS or tgt.shape[0] < MIN_POINTS:
+            if src.shape[0] < min_points or tgt.shape[0] < min_points:
                 continue
 
-            ov_src, ov_tgt = compute_overlap_ratio_np(src, tgt)
+            ov_src, ov_tgt = compute_overlap_ratio_np(
+                src, tgt, voxel_size=voxel_size,
+                overlap_factor=overlap_factor)
             if verbose:
                 print(f"{scene_name} src:{src_idx:0>2d} tgt:{tgt_idx:0>2d} "
                       f"ov_src:{ov_src:.3f} ov_tgt:{ov_tgt:.3f}")
             if np.isnan(ov_src) or np.isnan(ov_tgt):
                 continue
-            if ov_src < MIN_OVERLAP and ov_tgt < MIN_OVERLAP:
+            if ov_src < min_overlap and ov_tgt < min_overlap:
                 continue
 
             gt_infos.append("{}\t{}\t{}\t{:.4f}\t{:.4f}\n".format(

@@ -24,7 +24,8 @@ class TestConfig:
         mc = C.MaskTrainConfig()
         assert mc.train_lr == 4e-5 and mc.lr_gamma == 0.95 and mc.epochs == 100
         gc = C.GenerateConfig()
-        assert gc.batch_size == 4 and gc.memory_voxel_size == 0.002
+        # batch 8 is the profiled v5e sweet spot (reference used 4/GPU)
+        assert gc.batch_size == 8 and gc.memory_voxel_size == 0.002
 
     def test_cli_override_roundtrip(self):
         parser = argparse.ArgumentParser()

@@ -241,3 +241,44 @@ class TestMakeDepthCorrectionData:
         item = ds[0]
         assert item["input_img"].shape == (32, 32, 1)
         assert item["mask"].min() >= 0 and item["mask"].max() <= 1
+
+
+class TestSceneIndicesSharding:
+    def test_generate_honors_explicit_scene_indices(self, tmp_path,
+                                                    monkeypatch):
+        """Multi-host path: generate(scene_indices=[1]) must produce only
+        scene-000001 even though [start, stop) covers both scenes."""
+        monkeypatch.chdir(tmp_path)
+        folder, info = make_3dmatch_tree(tmp_path)
+
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=4,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=1.0)
+
+        gen = Generator(
+            model, diffusion, folder, batch_size=2,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        from pointreggpt_tpu.train import ema as ema_lib
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+
+        gen.load(1)
+        gen.generate(0, 2, num_samples=1, has_refine_step=False,
+                     info_train=info, scene_indices=[1], verbose=False)
+
+        assert not (tmp_path / "gen/data/scene-000000").exists()
+        assert (tmp_path /
+                "gen/data/scene-000001/sample-000001.depth.png").exists()

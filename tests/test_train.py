@@ -274,3 +274,53 @@ class TestDeterministicInputPipeline:
         ds.set_epoch(1)
         epoch1 = np.stack([ds[i]["img"] for i in range(len(ds))])
         assert (epoch0 != epoch1).any()
+
+
+@pytest.mark.slow
+class TestFidEndToEnd:
+    def test_trainer_logs_fid_with_stub_extractor(self, tmp_path,
+                                                  monkeypatch, capsys):
+        """Exercise the calculate_fid=True path end-to-end (sdd:1730-1745)
+        with a deterministic stand-in feature extractor (InceptionV3 weights
+        are unavailable offline; the FID math itself is exact)."""
+        from pointreggpt_tpu.eval import fid as fid_mod
+
+        class StubFeatures:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, images01):
+                x = np.asarray(images01).reshape(len(images01), -1)
+                # 8-d deterministic "activations": moments of each image
+                return np.stack([
+                    x.mean(1), x.std(1) + 1e-3, x.min(1), x.max(1),
+                    np.abs(x).mean(1), (x**2).mean(1),
+                    x[:, ::2].mean(1), x[:, 1::2].mean(1)
+                ], axis=1).astype(np.float64)
+
+        monkeypatch.setattr(fid_mod, "InceptionFeatures", StubFeatures)
+        monkeypatch.chdir(tmp_path)
+        folder, gt_log = make_diffusion_dataset(tmp_path)
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=16, timesteps=16, sampling_timesteps=4,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=0.0)
+        trainer = Trainer(
+            model, diffusion, folder,
+            train_batch_size=8, gradient_accumulate_every=1,
+            train_lr=1e-3, train_num_steps=2, save_and_sample_every=2,
+            num_samples=4, results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "samples"), gt_log=gt_log,
+            sample_on_save=True, calculate_fid=True, num_workers=1)
+
+        trainer.train(log_every=1)
+
+        # the trainer logger writes to stdout with propagate=False
+        out = capsys.readouterr().out
+        fid_lines = [l for l in out.splitlines() if "fid_score" in l]
+        assert fid_lines, "calculate_fid=True must log a FID score"
+        score = float(fid_lines[-1].split(":")[-1])
+        assert np.isfinite(score) and score >= 0.0
