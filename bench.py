@@ -116,12 +116,38 @@ def main():
     log(f"DDNM chain: {unet_steps_per_sec:.1f} U-Net steps/s "
         f"(batch {batch} @ {image_size}^2)")
 
+    # analytic MFU: XLA cost-analysis FLOPs of the single forwards times
+    # their call counts per step (cost_analysis counts a scan body once, so
+    # the chain itself cannot be queried directly). v5e bf16 peak: 197e12.
+    mfu = float("nan")
+    try:
+        x = jnp.zeros((batch, image_size, image_size, 1), jnp.bfloat16)
+        tt = jnp.zeros((batch,), jnp.float32)
+        pc = jnp.zeros((batch, 4), jnp.float32)
+
+        def _flops(fn, *args):
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca["flops"])
+
+        unet_flops = _flops(lambda p, a, b_, c: model.apply(p, a, b_, c),
+                            params, x, tt, pc)
+        dc_flops = _flops(lambda p, a: dc_model.apply(p, a), dc_params, x)
+        step_flops = sampling_timesteps * unet_flops + 2 * dc_flops
+        mfu = step_flops / t_step / 197e12
+        log(f"analytic FLOPs/step: {step_flops/1e12:.1f} TFLOP "
+            f"-> MFU {100*mfu:.1f}% (v5e bf16 peak 197 TFLOP/s)")
+    except Exception as e:  # pragma: no cover - cost model availability
+        log(f"MFU unavailable: {e}")
+
     result = {
         "metric": "generated_pairs_per_min_per_chip",
         "value": round(pairs_per_min, 3),
         "unit": "pairs/min/chip",
         "vs_baseline": round(pairs_per_min / BASELINE_PAIRS_PER_MIN_PER_CHIP,
                              3),
+        "mfu": round(mfu, 4) if np.isfinite(mfu) else None,
     }
     print(json.dumps(result), flush=True)
 

@@ -107,7 +107,8 @@ def voxel_downsample(
 
 
 def keep_nearest(points: Array, valid: Array,
-                 capacity: int) -> Tuple[Array, Array, Array]:
+                 capacity: int, *,
+                 valid_is_prefix: bool = False) -> Tuple[Array, Array, Array]:
     """Bound a padded cloud to ``capacity`` points, keeping those nearest
     the origin; report how many valid points were dropped.
 
@@ -123,6 +124,10 @@ def keep_nearest(points: Array, valid: Array,
         points: (..., n, 3).
         valid: (..., n) bool.
         capacity: output size along the point axis.
+        valid_is_prefix: promise that each batch element's valid entries
+            occupy a leading prefix (as ``voxel_downsample`` guarantees) —
+            the no-overflow fast path is then a plain slice instead of a
+            sort.
 
     Returns:
         out_points: (..., capacity, 3).
@@ -141,12 +146,31 @@ def keep_nearest(points: Array, valid: Array,
             valid = jnp.concatenate([valid, pad_val], axis=-1)
         return points, valid, jnp.zeros_like(occupied)
 
-    d2 = jnp.sum(points * points, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
-    _, idx = lax.top_k(-d2, capacity)
-    out_points = jnp.take_along_axis(points, idx[..., None], axis=-2)
-    out_valid = jnp.take_along_axis(valid, idx, axis=-1)
     overflow = jnp.maximum(occupied - capacity, 0)
+
+    def select_nearest(args):
+        pts, val = args
+        d2 = jnp.sum(pts * pts, axis=-1)
+        d2 = jnp.where(val, d2, jnp.inf)
+        _, idx = lax.top_k(-d2, capacity)
+        return (jnp.take_along_axis(pts, idx[..., None], axis=-2),
+                jnp.take_along_axis(val, idx, axis=-1))
+
+    def select_prefix_valid(args):
+        # no batch element overflows: any `capacity` slots covering all
+        # valid points are equivalent
+        pts, val = args
+        if not valid_is_prefix:
+            order = jnp.argsort(~val, axis=-1, stable=True)
+            pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+            val = jnp.take_along_axis(val, order, axis=-1)
+        return pts[..., :capacity, :], val[..., :capacity]
+
+    # the top_k over the full padded cloud costs ~56 ms at production size;
+    # run it only when something actually overflows
+    out_points, out_valid = lax.cond(
+        jnp.any(overflow > 0), select_nearest, select_prefix_valid,
+        (points, valid))
     return out_points, out_valid, overflow
 
 

@@ -174,7 +174,7 @@ class Generator:
                 lambda p, v: P.voxel_downsample(p, v, memory_voxel))(
                     merged, merged_valid)
             mem_pts_new, mem_valid_new, overflow = P.keep_nearest(
-                down, down_valid, cap)
+                down, down_valid, cap, valid_is_prefix=True)
 
             return (pose, images_raw, images_rpj, images, world, new_valid,
                     mem_pts_new, mem_valid_new, overflow)

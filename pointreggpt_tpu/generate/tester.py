@@ -227,7 +227,8 @@ class Tester:
             # bounded memory: deterministic nearest-to-origin keep + count
             # of dropped voxels (vs the reference's unbounded growth,
             # sdd:2660-2680)
-            return P.keep_nearest(down, down_valid, memory_capacity)
+            return P.keep_nearest(down, down_valid, memory_capacity,
+                                  valid_is_prefix=True)
 
         while done < num_scenes:
             batch = min(self.batch_size, num_scenes - done)

@@ -216,16 +216,15 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+        # Same math as the reference (softmax-q over d, softmax-k over n,
+        # sdd:750-768): fused Pallas kernel on TPU, HBM-lean XLA fallback
+        # elsewhere (ops/linear_attention.py). Consumes the packed Dense
+        # output directly — no (b, n, 3, h, d) reshuffle is materialized.
+        from pointreggpt_tpu.ops.linear_attention import (
+            linear_attention_core)
 
-        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1)  # over d
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1)  # over n
-        q = q * (self.dim_head**-0.5)
-        v = v.astype(jnp.float32) / n
-
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = linear_attention_core(qkv.reshape(b, n, 3 * hidden),
+                                    self.heads, self.dim_head)
         out = out.reshape(b, h, w, hidden).astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(dtype=self.dtype, name="out_norm")(out)

@@ -1,0 +1,203 @@
+"""Fused linear (kernelized) attention: Pallas TPU kernel + XLA fallback.
+
+The reference's LinearAttention (softmax-q over d, softmax-k over n,
+sdd:737-769) runs at every U-Net resolution except the bottleneck. Its
+FLOPs are tiny (the 32x32 per-head context), but the XLA lowering streams
+several full-size (b, n, heads*dim_head) tensors through HBM (softmax
+statistics, normalized copies, einsum operands) — measured 16.5 ms of a
+42 ms U-Net forward at 256^2 batch 8 on v5e, ~39% of the whole sampling
+step for ~5% of its FLOPs.
+
+The Pallas kernel fuses everything between the two projection matmuls into
+one two-phase streaming pass over the raw qkv Dense output (b, n, 3*H*D)
+with fp32 accumulators:
+
+- phase 0 (k, v): flash-style online softmax-over-n per k-lane — running
+  max m[d], running sum s[d], and the head-block context
+  C[d, e] = sum_n exp(k[n, d] - m[d]) * v[n, e], accumulated for all heads
+  at once as a single 128x128 MXU product per chunk (off-diagonal head
+  blocks are computed and masked later; their FLOPs are negligible).
+- phase transition: C_hat = block_diag(C / s[:, None]) * dim_head^-0.5 / n.
+- phase 1 (q): per-row softmax over each head's d lanes (row max over all
+  128 lanes is a constant shift within every head group, so it is exact;
+  per-head denominators come from one matmul with the block-diagonal ones
+  matrix), then out = q_softmax @ C_hat.
+
+HBM traffic: qkv read twice + out written once (~940 MB at 256^2 batch 8,
+~1.2 ms roofline) versus the several-GB unfused chain.
+
+The backward pass differentiates the XLA math (custom_vjp), so training
+gradients are identical on all backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def _xla_core(qkv: Array, heads: int, dim_head: int) -> Array:
+    """Reference math, HBM-lean XLA formulation (see models/blocks.py).
+
+    Args:
+        qkv: (b, n, 3 * heads * dim_head), layout [q | k | v], head-major
+            within each third (the raw ``to_qkv`` Dense output).
+
+    Returns:
+        (b, n, heads * dim_head) attention output, qkv.dtype.
+    """
+    b, n, _ = qkv.shape
+    dtype = qkv.dtype
+    x = qkv.reshape(b, n, 3, heads, dim_head)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (b, n, h, d)
+
+    kf = k.astype(jnp.float32)
+    kmax = jnp.max(kf, axis=1, keepdims=True)
+    ek = jnp.exp(kf - kmax)
+    ksum = jnp.sum(ek, axis=1)  # (b, h, d) fp32
+    context = jnp.einsum("bnhd,bnhe->bhde", ek.astype(dtype),
+                         v.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    context = context * (dim_head**-0.5 / n) / ksum[..., None]
+
+    qs = jax.nn.softmax(q.astype(jnp.float32), axis=-1)  # over d
+    out = jnp.einsum("bhde,bnhd->bnhe", context.astype(dtype),
+                     qs.astype(dtype), preferred_element_type=jnp.float32)
+    return out.reshape(b, n, heads * dim_head).astype(dtype)
+
+
+def _pallas_core(qkv: Array, heads: int, dim_head: int,
+                 interpret: bool = False) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, three_hidden = qkv.shape
+    hidden = heads * dim_head
+    assert three_hidden == 3 * hidden
+    chunk = min(2048, n)
+    assert n % chunk == 0
+    nchunks = n // chunk
+    scale = dim_head**-0.5 / n
+
+    def kernel(x_ref, o_ref, m_ref, s_ref, c_ref, chat_ref):
+        phase = pl.program_id(1)
+        ci = pl.program_id(2)
+
+        head_row = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        0) // dim_head
+        head_col = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        1) // dim_head
+        same_head = head_row == head_col
+
+        @pl.when((phase == 0) & (ci == 0))
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            s_ref[...] = jnp.zeros_like(s_ref)
+            c_ref[...] = jnp.zeros_like(c_ref)
+
+        @pl.when(phase == 0)
+        def _accumulate_kv():
+            blk = x_ref[0]
+            k = blk[:, hidden:2 * hidden].astype(jnp.float32)
+            v = blk[:, 2 * hidden:].astype(jnp.float32)
+            m_old = m_ref[0]                      # (hidden,)
+            m_new = jnp.maximum(m_old, jnp.max(k, axis=0))
+            alpha = jnp.exp(m_old - m_new)        # (hidden,)
+            ek = jnp.exp(k - m_new[None, :])      # (chunk, hidden)
+            s_ref[0] = s_ref[0] * alpha + jnp.sum(ek, axis=0)
+            c_ref[...] = c_ref[...] * alpha[:, None] + lax.dot_general(
+                ek, v, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[0] = m_new
+
+        @pl.when((phase == 1) & (ci == 0))
+        def _finalize_context():
+            s = jnp.maximum(s_ref[0], 1e-30)
+            chat = c_ref[...] / s[:, None] * scale
+            chat_ref[...] = jnp.where(same_head, chat, 0.0)
+
+        @pl.when(phase == 1)
+        def _emit_out():
+            blk = x_ref[0]
+            q = blk[:, :hidden].astype(jnp.float32)
+            # row max over all lanes is constant within each head's softmax
+            # group -> exact shift
+            eq = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+            denom = lax.dot_general(
+                eq, same_head.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qs = eq / denom
+            o_ref[0] = lax.dot_general(
+                qs, chat_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, 2, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 3 * hidden),
+                         lambda bi, ph, ci: (bi, ci, 0)),
+        ],
+        # phase 0 never writes: park the out window on block (bi, 0) so no
+        # garbage is ever flushed and phase 1 revisits it in place
+        out_specs=pl.BlockSpec((1, chunk, hidden),
+                               lambda bi, ph, ci: (bi, ci * ph, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hidden), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),       # running max
+            pltpu.VMEM((1, hidden), jnp.float32),       # running sum
+            pltpu.VMEM((hidden, hidden), jnp.float32),  # context accum
+            pltpu.VMEM((hidden, hidden), jnp.float32),  # finalized context
+        ],
+        interpret=interpret,
+    )(qkv)
+
+
+def _dispatch(qkv: Array, heads: int, dim_head: int) -> Array:
+    n = qkv.shape[1]
+    hidden = heads * dim_head
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and hidden % 128 == 0
+        and n % min(2048, n) == 0
+        and n % 8 == 0
+    )
+    if use_pallas:
+        try:
+            return _pallas_core(qkv, heads, dim_head)
+        except Exception:  # pragma: no cover - fallback safety net
+            pass
+    return _xla_core(qkv, heads, dim_head)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def linear_attention_core(qkv: Array, heads: int, dim_head: int) -> Array:
+    """softmax-q/softmax-k linear attention over a packed qkv tensor.
+
+    Args:
+        qkv: (b, n, 3*heads*dim_head) packed [q | k | v] (head-major).
+
+    Returns:
+        (b, n, heads*dim_head).
+    """
+    return _dispatch(qkv, heads, dim_head)
+
+
+def _fwd(qkv, heads, dim_head):
+    return _dispatch(qkv, heads, dim_head), (qkv,)
+
+
+def _bwd(heads, dim_head, residuals, g):
+    (qkv,) = residuals
+    _, vjp = jax.vjp(lambda a: _xla_core(a, heads, dim_head), qkv)
+    return vjp(g)
+
+
+linear_attention_core.defvjp(_fwd, _bwd)
