@@ -198,11 +198,47 @@ class ResnetBlock(nn.Module):
         return h + x
 
 
+class _DenseParams(nn.Module):
+    """Declare Dense-compatible params (kernel[, bias]) without the module.
+
+    Lets a fused op consume raw weights while keeping the param tree
+    identical to ``nn.Dense`` (same path, names, shapes, init)."""
+
+    shape: Tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[1],), jnp.float32)
+        return kernel, bias
+
+
+class _ScaleParam(nn.Module):
+    """ChannelLayerNorm-compatible scale param (``g``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("g", nn.initializers.ones, (self.dim,),
+                          jnp.float32)
+
+
 class LinearAttention(nn.Module):
     """Linear (kernelized) attention with per-head softmax-q / softmax-k.
 
     O(n) in sequence length; used at every resolution except the bottleneck.
-    Reference: sdd:737-769.
+    Reference: sdd:737-769. The whole block body (qkv projection ->
+    softmax core -> out projection -> channel LayerNorm) runs as ONE fused
+    Pallas streaming kernel on TPU (ops/linear_attention.py) — none of the
+    intermediates touch HBM; XLA fallback elsewhere. Param tree matches the
+    unfused Dense/ChannelLayerNorm composition exactly (torch_port
+    compatible).
     """
 
     heads: int = 4
@@ -211,23 +247,21 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from pointreggpt_tpu.ops.linear_attention import (
+            fused_linear_attention)
+
         b, h, w, c = x.shape
         n = h * w
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
-                       name="to_qkv")(x)
-        # Same math as the reference (softmax-q over d, softmax-k over n,
-        # sdd:750-768): fused Pallas kernel on TPU, HBM-lean XLA fallback
-        # elsewhere (ops/linear_attention.py). Consumes the packed Dense
-        # output directly — no (b, n, 3, h, d) reshuffle is materialized.
-        from pointreggpt_tpu.ops.linear_attention import (
-            linear_attention_core)
+        w_qkv, _ = _DenseParams((c, hidden * 3), use_bias=False,
+                                name="to_qkv")()
+        w_out, b_out = _DenseParams((hidden, c), name="to_out")()
+        g_out = _ScaleParam(c, name="out_norm")()
 
-        out = linear_attention_core(qkv.reshape(b, n, 3 * hidden),
-                                    self.heads, self.dim_head)
-        out = out.reshape(b, h, w, hidden).astype(self.dtype)
-        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
-        return ChannelLayerNorm(dtype=self.dtype, name="out_norm")(out)
+        out = fused_linear_attention(
+            x.reshape(b, n, c).astype(self.dtype), w_qkv, w_out, b_out,
+            g_out, self.heads, self.dim_head, _ws_eps(self.dtype))
+        return out.reshape(b, h, w, c)
 
 
 class Attention(nn.Module):

@@ -160,6 +160,194 @@ def _pallas_core(qkv: Array, heads: int, dim_head: int,
     )(qkv)
 
 
+def _xla_fused(x: Array, w_qkv: Array, w_out: Array, b_out: Array,
+               g_out: Array, heads: int, dim_head: int,
+               eps: float) -> Array:
+    """XLA fallback of the fused block: qkv proj -> core -> out proj ->
+    channel LayerNorm. Matches the unfused flax composition
+    (Dense -> core -> Dense -> ChannelLayerNorm) bit-for-bit per dtype."""
+    dtype = x.dtype
+    qkv = jnp.dot(x, w_qkv.astype(dtype))
+    core = _xla_core(qkv, heads, dim_head)
+    out = jnp.dot(core.astype(dtype), w_out.astype(dtype)) + \
+        b_out.astype(dtype)
+    xf = out.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    ln = (xf - mean) * lax.rsqrt(var + eps) * g_out
+    return ln.astype(dtype)
+
+
+def _pallas_fused(x: Array, w_qkv: Array, w_out: Array, b_out: Array,
+                  g_out: Array, heads: int, dim_head: int, eps: float,
+                  interpret: bool = False) -> Array:
+    """Whole LinearAttention block in one two-phase streaming kernel.
+
+    HBM traffic per instance: x read twice + output written once (the
+    intermediate (b, n, 3*hidden) qkv and (b, n, hidden) core tensors never
+    leave VMEM). Weights stay VMEM-resident across the grid.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    hidden = heads * dim_head
+    chunk = min(2048, n)
+    assert n % chunk == 0
+    nchunks = n // chunk
+    scale = dim_head**-0.5 / n
+    dtype = x.dtype
+
+    def kernel(x_ref, wqkv_ref, wout_ref, bout_ref, gout_ref, o_ref,
+               m_ref, s_ref, c_ref, chat_ref):
+        phase = pl.program_id(1)
+        ci = pl.program_id(2)
+
+        head_row = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        0) // dim_head
+        head_col = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        1) // dim_head
+        same_head = head_row == head_col
+
+        @pl.when((phase == 0) & (ci == 0))
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            s_ref[...] = jnp.zeros_like(s_ref)
+            c_ref[...] = jnp.zeros_like(c_ref)
+
+        @pl.when(phase == 0)
+        def _accumulate_kv():
+            xc = x_ref[0]  # (chunk, c), model dtype
+            kv = lax.dot_general(
+                xc, wqkv_ref[:, hidden:].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (chunk, 2*hidden)
+            k = kv[:, :hidden]
+            v = kv[:, hidden:]
+            m_old = m_ref[0]
+            m_new = jnp.maximum(m_old, jnp.max(k, axis=0))
+            alpha = jnp.exp(m_old - m_new)
+            ek = jnp.exp(k - m_new[None, :])
+            s_ref[0] = s_ref[0] * alpha + jnp.sum(ek, axis=0)
+            c_ref[...] = c_ref[...] * alpha[:, None] + lax.dot_general(
+                ek.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[0] = m_new
+
+        @pl.when((phase == 1) & (ci == 0))
+        def _finalize_context():
+            s = jnp.maximum(s_ref[0], 1e-30)
+            chat = c_ref[...] / s[:, None] * scale
+            chat_ref[...] = jnp.where(same_head, chat, 0.0)
+
+        @pl.when(phase == 1)
+        def _emit_out():
+            xc = x_ref[0]
+            q = lax.dot_general(
+                xc, wqkv_ref[:, :hidden].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            eq = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+            denom = lax.dot_general(
+                eq, same_head.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qs = (eq / denom).astype(dtype)
+            core = lax.dot_general(
+                qs, chat_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (chunk, hidden)
+            out = lax.dot_general(
+                core.astype(dtype), wout_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + \
+                bout_ref[0].astype(jnp.float32)[None, :]
+            mean = jnp.mean(out, axis=1, keepdims=True)
+            var = jnp.mean((out - mean)**2, axis=1, keepdims=True)
+            ln = (out - mean) * lax.rsqrt(var + eps) * gout_ref[0][None, :]
+            o_ref[0] = ln.astype(o_ref.dtype)
+
+    small = lambda *_: (0, 0)  # weights: one block, every program
+    return pl.pallas_call(
+        kernel,
+        grid=(b, 2, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda bi, ph, ci: (bi, ci, 0)),
+            pl.BlockSpec((c, 3 * hidden), small),
+            pl.BlockSpec((hidden, c), small),
+            pl.BlockSpec((1, c), small),
+            pl.BlockSpec((1, c), small),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, c),
+                               lambda bi, ph, ci: (bi, ci * ph, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((1, hidden), jnp.float32),
+            pltpu.VMEM((hidden, hidden), jnp.float32),
+            pltpu.VMEM((hidden, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_qkv, w_out, b_out.reshape(1, c), g_out.reshape(1, c))
+
+
+def _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
+    n, c = x.shape[1], x.shape[2]
+    hidden = heads * dim_head
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and hidden % 128 == 0
+        and c % 8 == 0
+        and n % min(2048, n) == 0
+        and n % 8 == 0
+    )
+    if use_pallas:
+        try:
+            return _pallas_fused(x, w_qkv, w_out, b_out, g_out, heads,
+                                 dim_head, eps)
+        except Exception:  # pragma: no cover - fallback safety net
+            pass
+    return _xla_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_linear_attention(x: Array, w_qkv: Array, w_out: Array,
+                           b_out: Array, g_out: Array, heads: int,
+                           dim_head: int, eps: float) -> Array:
+    """LinearAttention block body: qkv proj -> softmax-q/softmax-k core ->
+    out proj -> channel LayerNorm (scale only).
+
+    Args:
+        x: (b, n, c) pre-normalized activations, model dtype.
+        w_qkv: (c, 3*heads*dim_head) fp32 params (cast to x.dtype inside).
+        w_out: (heads*dim_head, c); b_out: (c,); g_out: (c,) fp32.
+        eps: LayerNorm epsilon (dtype-dependent, see blocks._ws_eps).
+
+    Returns:
+        (b, n, c), x.dtype. Add the residual outside.
+    """
+    return _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head,
+                           eps)
+
+
+def _fused_fwd(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
+    out = _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head,
+                          eps)
+    return out, (x, w_qkv, w_out, b_out, g_out)
+
+
+def _fused_bwd(heads, dim_head, eps, residuals, g):
+    x, w_qkv, w_out, b_out, g_out = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _xla_fused(*a, heads, dim_head, eps),
+        x, w_qkv, w_out, b_out, g_out)
+    return vjp(g)
+
+
+fused_linear_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 def _dispatch(qkv: Array, heads: int, dim_head: int) -> Array:
     n = qkv.shape[1]
     hidden = heads * dim_head

@@ -82,3 +82,53 @@ class TestGradient:
         g2 = jax.grad(loss_ref)(qkv)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestFusedBlock:
+    def _params(self, rng, c):
+        w_qkv = jnp.asarray(rng.normal(size=(c, 3 * HIDDEN)) * 0.1,
+                            jnp.float32)
+        w_out = jnp.asarray(rng.normal(size=(HIDDEN, c)) * 0.1, jnp.float32)
+        b_out = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+        g_out = jnp.asarray(rng.uniform(0.5, 1.5, size=(c,)), jnp.float32)
+        return w_qkv, w_out, b_out, g_out
+
+    @pytest.mark.parametrize("c,n", [(64, 256), (48, 64)])
+    def test_xla_fused_matches_unfused_composition(self, rng, c, n):
+        w_qkv, w_out, b_out, g_out = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+        fused = LA._xla_fused(x, w_qkv, w_out, b_out, g_out, HEADS, D, 1e-5)
+        # unfused: dense -> core -> dense -> channel layernorm
+        qkv = jnp.dot(x, w_qkv)
+        core = LA._xla_core(qkv, HEADS, D)
+        out = jnp.dot(core, w_out) + b_out
+        mean = jnp.mean(out, axis=-1, keepdims=True)
+        var = jnp.var(out, axis=-1, keepdims=True)
+        ref = (out - mean) * jax.lax.rsqrt(var + 1e-5) * g_out
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("c,n", [(64, 256), (128, 4096)])
+    def test_pallas_fused_interpret_matches_xla(self, rng, c, n):
+        w_qkv, w_out, b_out, g_out = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(1, n, c)), jnp.float32)
+        got = LA._pallas_fused(x, w_qkv, w_out, b_out, g_out, HEADS, D,
+                               1e-5, interpret=True)
+        ref = LA._xla_fused(x, w_qkv, w_out, b_out, g_out, HEADS, D, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_fused_grads_flow_to_all_params(self, rng):
+        c = 64
+        w_qkv, w_out, b_out, g_out = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(1, 64, c)), jnp.float32)
+
+        def loss(x_, a, b_, c_, d_):
+            return jnp.sum(LA.fused_linear_attention(
+                x_, a, b_, c_, d_, HEADS, D, 1e-5)**2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            x, w_qkv, w_out, b_out, g_out)
+        for gr in grads:
+            assert np.isfinite(np.asarray(gr)).all()
+            assert np.abs(np.asarray(gr)).max() > 0
