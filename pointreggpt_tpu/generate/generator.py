@@ -45,6 +45,21 @@ BBOX_MAX = (1.5, 1.5, 3.5)
 TRAIN_POOL = 20642  # reference pair-pool size (sdd:2397)
 
 
+def _voxel_downsample_host(pts_np: np.ndarray, voxel: float) -> np.ndarray:
+    """Voxel-downsample an arbitrary-length host cloud, compacted.
+
+    Pads to power-of-two buckets so the device op sees a bounded set of
+    static shapes (a fresh shape per fragment would recompile every scene).
+    """
+    n = pts_np.shape[0]
+    m = max(4096, 1 << (n - 1).bit_length())
+    pts = np.zeros((m, 3), np.float32)
+    pts[:n] = pts_np
+    pj, vj = P.voxel_downsample(jnp.asarray(pts),
+                                jnp.asarray(np.arange(m) < n), voxel)
+    return np.asarray(pj)[np.asarray(vj)]
+
+
 class Generator:
     """Batched scene generator.
 
@@ -306,84 +321,104 @@ class Generator:
             param_cond = G.param_vector(intr_j)
 
             # --- successive conditional generation ----------------------
+            # Pipelined: step k+1 is dispatched (async) before step k's host
+            # writes run, so PNG/PLY encoding overlaps device compute. The
+            # carried memory cloud stays on device between steps.
+            pending = None  # (sample_idx, device outputs of the prior step)
             for sample_idx in range(num_samples):
                 key, sub = jax.random.split(key)
                 (pose, images_raw, images_rpj, images, world, world_valid,
                  mem_pts_j, mem_valid_j, overflow) = step_fn(
                      self.ema_params, self.dc_params, mem_pts_j, mem_valid_j,
                      intr_j, param_cond, sub)
+                if pending is not None:
+                    self._write_sample_outputs(
+                        chunk, pending[0], num_samples, pending[1],
+                        fragment_clouds, fragment_poses, save_voxel_size,
+                        verbose)
+                pending = (sample_idx, (pose, images_raw, images_rpj, images,
+                                        world, world_valid, overflow))
+            if pending is not None:
+                self._write_sample_outputs(
+                    chunk, pending[0], num_samples, pending[1],
+                    fragment_clouds, fragment_poses, save_voxel_size,
+                    verbose)
 
-                pose_np = np.asarray(pose)
-                images_np = np.asarray(images)
-                images_raw_np = np.asarray(images_raw)
-                images_rpj_np = np.asarray(images_rpj)
-                world_np = np.asarray(world)
-                world_valid_np = np.asarray(world_valid)
-                overflow_np = np.asarray(overflow)
-                # scene memory is bounded (the reference's grows without
-                # bound, sdd:2660-2680); on overflow the farthest-from-origin
-                # voxels were dropped deterministically — surface it
-                for i, dropped in enumerate(overflow_np):
-                    if dropped > 0:
-                        print(f"WARNING: scene {chunk[i]:0>6d} memory "
-                              f"overflow: dropped {int(dropped)} "
-                              f"farthest-from-origin voxels (capacity {cap})")
+    # ------------------------------------------------------------------
+    def _write_sample_outputs(self, chunk, sample_idx, num_samples, outs,
+                              fragment_clouds, fragment_poses,
+                              save_voxel_size, verbose) -> None:
+        """Host side of one generation step (sdd:2586-2658)."""
+        cap = self.memory_capacity
+        (pose, images_raw, images_rpj, images, world, world_valid,
+         overflow) = outs
+        pose_np = np.asarray(pose)
+        images_np = np.asarray(images)
+        images_raw_np = np.asarray(images_raw)
+        images_rpj_np = np.asarray(images_rpj)
+        world_np = np.asarray(world)
+        world_valid_np = np.asarray(world_valid)
+        overflow_np = np.asarray(overflow)
+        # scene memory is bounded (the reference's grows without
+        # bound, sdd:2660-2680); on overflow the farthest-from-origin
+        # voxels were dropped deterministically — surface it
+        for i, dropped in enumerate(overflow_np):
+            if dropped > 0:
+                print(f"WARNING: scene {chunk[i]:0>6d} memory "
+                      f"overflow: dropped {int(dropped)} "
+                      f"farthest-from-origin voxels (capacity {cap})")
 
-                for i, sid in enumerate(chunk):
-                    scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
-                    out_idx = sample_idx + 1
+        for i, sid in enumerate(chunk):
+            scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
+            out_idx = sample_idx + 1
 
-                    # pose (inverse, sdd:2593-2594)
-                    np.savetxt(scene_dir / f"sample-{out_idx:0>6d}.pose.txt",
-                               np.linalg.inv(pose_np[i]))
-                    # debug snapshots: pre-correction splat (sdd:2554-2560)
-                    # and post-correction condition (sdd:2597-2602)
-                    from PIL import Image
-                    Image.fromarray((np.clip(images_raw_np[i], 0, 1) *
-                                     255).astype(np.uint8)).save(
-                                         scene_dir / "reprojected.image.png")
-                    Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
-                                     255).astype(np.uint8)).save(
-                                         scene_dir / "corrected.image.png")
-                    img01 = images_np[i, ..., 0]
-                    Image.fromarray(
-                        (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
-                            scene_dir / f"sample-{out_idx:0>6d}.image.png")
-                    imageio16.write_depth_png(
-                        scene_dir / f"sample-{out_idx:0>6d}.depth.png", img01)
+            # pose (inverse, sdd:2593-2594)
+            np.savetxt(scene_dir / f"sample-{out_idx:0>6d}.pose.txt",
+                       np.linalg.inv(pose_np[i]))
+            # debug snapshots: pre-correction splat (sdd:2554-2560)
+            # and post-correction condition (sdd:2597-2602)
+            from PIL import Image
+            Image.fromarray((np.clip(images_raw_np[i], 0, 1) *
+                             255).astype(np.uint8)).save(
+                                 scene_dir / "reprojected.image.png")
+            Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
+                             255).astype(np.uint8)).save(
+                                 scene_dir / "corrected.image.png")
+            img01 = images_np[i, ..., 0]
+            Image.fromarray(
+                (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
+                    scene_dir / f"sample-{out_idx:0>6d}.image.png")
+            imageio16.write_depth_png(
+                scene_dir / f"sample-{out_idx:0>6d}.depth.png", img01)
 
-                    # accumulate the fragment cloud in world frame
-                    # (clip 0.5..10 like the reference PLY path, sdd:2623)
-                    wp = world_np[i][world_valid_np[i]]
-                    if sample_idx == 0:
-                        fragment_clouds[i] = wp
-                        fragment_poses[i] = pose_np[i]
-                    else:
-                        fragment_clouds[i] = np.concatenate(
-                            [fragment_clouds[i], wp], axis=0)
+            # accumulate the fragment cloud in world frame
+            # (clip 0.5..10 like the reference PLY path, sdd:2623)
+            wp = world_np[i][world_valid_np[i]]
+            if sample_idx == 0:
+                fragment_clouds[i] = wp
+                fragment_poses[i] = pose_np[i]
+            else:
+                fragment_clouds[i] = np.concatenate(
+                    [fragment_clouds[i], wp], axis=0)
 
-                    if sample_idx == num_samples - 1:
-                        frag = fragment_clouds[i]
-                        fpose = fragment_poses[i]
-                        # to the first-sample camera frame, crop, voxel,
-                        # back to world (sdd:2640-2658)
-                        cam = frag @ fpose[:3, :3].T + fpose[:3, 3]
-                        inside = np.all(
-                            (cam >= BBOX_MIN) & (cam <= BBOX_MAX), axis=-1)
-                        cam = cam[inside].astype(np.float32)
-                        if cam.shape[0]:
-                            pj, vj = P.voxel_downsample(
-                                jnp.asarray(cam),
-                                jnp.ones((cam.shape[0],), bool),
-                                save_voxel_size)
-                            down = np.asarray(pj)[np.asarray(vj)]
-                            inv = np.linalg.inv(fpose)
-                            down = down @ inv[:3, :3].T + inv[:3, 3]
-                        else:
-                            down = cam
-                        plyio.write_ply(
-                            scene_dir / "sample-000001.cloud.ply", down)
+            if sample_idx == num_samples - 1:
+                frag = fragment_clouds[i]
+                fpose = fragment_poses[i]
+                # to the first-sample camera frame, crop, voxel,
+                # back to world (sdd:2640-2658)
+                cam = frag @ fpose[:3, :3].T + fpose[:3, 3]
+                inside = np.all(
+                    (cam >= BBOX_MIN) & (cam <= BBOX_MAX), axis=-1)
+                cam = cam[inside].astype(np.float32)
+                if cam.shape[0]:
+                    down = _voxel_downsample_host(cam, save_voxel_size)
+                    inv = np.linalg.inv(fpose)
+                    down = down @ inv[:3, :3].T + inv[:3, 3]
+                else:
+                    down = cam
+                plyio.write_ply(
+                    scene_dir / "sample-000001.cloud.ply", down)
 
-                if verbose:
-                    print(f"scenes {chunk[0]}-{chunk[-1]}: "
-                          f"{sample_idx + 1}/{num_samples}")
+        if verbose:
+            print(f"scenes {chunk[0]}-{chunk[-1]}: "
+                  f"{sample_idx + 1}/{num_samples}")

@@ -292,6 +292,289 @@ def _pallas_fused(x: Array, w_qkv: Array, w_out: Array, b_out: Array,
     )(x, w_qkv, w_out, b_out.reshape(1, c), g_out.reshape(1, c))
 
 
+def _pallas_fused_bwd(x: Array, dy: Array, w_qkv: Array, w_out: Array,
+                      b_out: Array, g_out: Array, heads: int, dim_head: int,
+                      eps: float, interpret: bool = False):
+    """Analytic backward of the fused LinearAttention block, streamed.
+
+    Four phases per batch element (grid (b, 4, nchunks)), fp32 accumulators:
+
+    - phase 0: recompute the k-side online-softmax stats m, s and the
+      context C (identical to the forward's phase 0).
+    - phase 1: per chunk, recompute the q path (q softmax, core, out
+      projection, LayerNorm) and backprop chunk-locally: LN bwd -> dWout /
+      dbout / dg -> dcore -> dChat (accumulated over chunks) and the q
+      softmax bwd -> dWq and the q-path dx.
+    - phase 2: fold the accumulated dChat through Chat = mask(C/s)*scale
+      into dC and ds.
+    - phase 3: per chunk, recompute ek and v and emit dk = ek*(v dC^T + ds),
+      dv = ek dC, the k/v-path dx, and dWk/dWv.
+
+    Gradients through the running max m cancel exactly (C/s is invariant to
+    the per-lane shift), as in every flash-style backward, so m is treated
+    as a constant.
+
+    Returns (dx_q, dx_kv, dw_qkv, dw_out, db_out, dg); the caller adds the
+    two dx partials (they are produced in different phases; separate outputs
+    avoid an output-window revisit hazard).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    hidden = heads * dim_head
+    # the q-path backward holds ~10 fp32 (chunk, c) temporaries on the
+    # scoped-VMEM stack (16 MB limit): cap chunk * max(c, hidden) at 2048*64
+    chunk = min(2048, n)
+    while chunk > 128 and chunk * c > 2048 * 128:
+        chunk //= 2
+    assert n % chunk == 0
+    nchunks = n // chunk
+    scale = dim_head**-0.5 / n
+    dtype = x.dtype
+    b_total = b * 4 * nchunks
+
+    def kernel(x_ref, dy_ref, wqkv_ref, wout_ref, bout_ref, gout_ref,
+               dxq_ref, dxkv_ref, dwqkv_ref, dwout_ref, dbout_ref, dg_ref,
+               m_ref, s_ref, c_ref, chat_ref, dchat_ref, dc_ref, ds_ref,
+               dwqkv_acc, dwout_acc, dbout_acc, dg_acc):
+        bi = pl.program_id(0)
+        phase = pl.program_id(1)
+        ci = pl.program_id(2)
+        linear_id = (bi * 4 + phase) * nchunks + ci
+
+        head_row = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        0) // dim_head
+        head_col = lax.broadcasted_iota(jnp.int32, (hidden, hidden),
+                                        1) // dim_head
+        same_head = (head_row == head_col).astype(jnp.float32)
+
+        @pl.when(linear_id == 0)
+        def _init_weight_grads():
+            dwqkv_acc[...] = jnp.zeros_like(dwqkv_acc)
+            dwout_acc[...] = jnp.zeros_like(dwout_acc)
+            dbout_acc[...] = jnp.zeros_like(dbout_acc)
+            dg_acc[...] = jnp.zeros_like(dg_acc)
+
+        @pl.when((phase == 0) & (ci == 0))
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            s_ref[...] = jnp.zeros_like(s_ref)
+            c_ref[...] = jnp.zeros_like(c_ref)
+
+        @pl.when(phase == 0)
+        def _accumulate_kv():
+            xc = x_ref[0]
+            kv = lax.dot_general(
+                xc, wqkv_ref[:, hidden:].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            k = kv[:, :hidden]
+            v = kv[:, hidden:]
+            m_old = m_ref[0]
+            m_new = jnp.maximum(m_old, jnp.max(k, axis=0))
+            alpha = jnp.exp(m_old - m_new)
+            ek = jnp.exp(k - m_new[None, :])
+            s_ref[0] = s_ref[0] * alpha + jnp.sum(ek, axis=0)
+            c_ref[...] = c_ref[...] * alpha[:, None] + lax.dot_general(
+                ek.astype(dtype), v.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[0] = m_new
+
+        @pl.when((phase == 1) & (ci == 0))
+        def _finalize_context():
+            s = jnp.maximum(s_ref[0], 1e-30)
+            chat = c_ref[...] / s[:, None] * scale
+            chat_ref[...] = chat * same_head
+            dchat_ref[...] = jnp.zeros_like(dchat_ref)
+
+        @pl.when(phase == 1)
+        def _q_path_bwd():
+            xc = x_ref[0]
+            dy = dy_ref[0].astype(jnp.float32)
+            # recompute the q path exactly as the forward
+            q = lax.dot_general(
+                xc, wqkv_ref[:, :hidden].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            eq = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
+            denom = lax.dot_general(
+                eq, same_head,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qs = eq / denom
+            qs_c = qs.astype(dtype)
+            core = lax.dot_general(
+                qs_c, chat_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            core_c = core.astype(dtype)
+            pre = lax.dot_general(
+                core_c, wout_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + \
+                bout_ref[0].astype(jnp.float32)[None, :]
+            mu = jnp.mean(pre, axis=1, keepdims=True)
+            var = jnp.mean((pre - mu)**2, axis=1, keepdims=True)
+            sinv = lax.rsqrt(var + eps)
+            xhat = (pre - mu) * sinv
+
+            # LayerNorm (scale-only) backward
+            g = gout_ref[0].astype(jnp.float32)[None, :]
+            dg_acc[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+            dxhat = dy * g
+            dpre = sinv * (
+                dxhat - jnp.mean(dxhat, axis=1, keepdims=True) -
+                xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True))
+            dpre_c = dpre.astype(dtype)
+
+            dbout_acc[...] += jnp.sum(dpre, axis=0, keepdims=True)
+            dwout_acc[...] += lax.dot_general(
+                core_c, dpre_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dcore = lax.dot_general(
+                dpre_c, wout_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dcore_c = dcore.astype(dtype)
+            dchat_ref[...] += lax.dot_general(
+                qs_c, dcore_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqs = lax.dot_general(
+                dcore_c, chat_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # per-head softmax backward over the d lanes
+            r = lax.dot_general(
+                (dqs * qs).astype(jnp.float32), same_head,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = qs * (dqs - r)
+            dq_c = dq.astype(dtype)
+            dwqkv_acc[:, :hidden] += lax.dot_general(
+                xc, dq_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxq_ref[0] = lax.dot_general(
+                dq_c, wqkv_ref[:, :hidden].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dxq_ref.dtype)
+
+        @pl.when((phase == 2) & (ci == 0))
+        def _fold_context_grad():
+            s = jnp.maximum(s_ref[0], 1e-30)
+            dch = dchat_ref[...] * same_head
+            dc_ref[...] = dch * scale / s[:, None]
+            ds_ref[0] = -jnp.sum(dch * c_ref[...], axis=1) * scale / (s * s)
+
+        @pl.when(phase == 3)
+        def _kv_path_bwd():
+            xc = x_ref[0]
+            kv = lax.dot_general(
+                xc, wqkv_ref[:, hidden:].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            k = kv[:, :hidden]
+            v = kv[:, hidden:]
+            ek = jnp.exp(k - m_ref[0][None, :])
+            dek = lax.dot_general(
+                v.astype(dtype), dc_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + ds_ref[0][None, :]
+            dk = ek * dek
+            dv = lax.dot_general(
+                ek.astype(dtype), dc_ref[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_c = dk.astype(dtype)
+            dv_c = dv.astype(dtype)
+            dwqkv_acc[:, hidden:2 * hidden] += lax.dot_general(
+                xc, dk_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwqkv_acc[:, 2 * hidden:] += lax.dot_general(
+                xc, dv_c,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxkv_ref[0] = (lax.dot_general(
+                dk_c, wqkv_ref[:, hidden:2 * hidden].astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + lax.dot_general(
+                    dv_c, wqkv_ref[:, 2 * hidden:].astype(dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)).astype(
+                        dxkv_ref.dtype)
+
+        @pl.when(linear_id == b_total - 1)
+        def _emit_weight_grads():
+            dwqkv_ref[...] = dwqkv_acc[...]
+            dwout_ref[...] = dwout_acc[...]
+            dbout_ref[...] = dbout_acc[...]
+            dg_ref[...] = dg_acc[...]
+
+    small = lambda *_: (0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, 4, nchunks),
+        in_specs=[
+            # park x during phase 2 (unused there), stream otherwise
+            pl.BlockSpec((1, chunk, c),
+                         lambda bi, ph, ci: (bi, ci * (ph != 2), 0)),
+            # dy is only read in phase 1
+            pl.BlockSpec((1, chunk, c),
+                         lambda bi, ph, ci: (bi, ci * (ph == 1), 0)),
+            pl.BlockSpec((c, 3 * hidden), small),
+            pl.BlockSpec((hidden, c), small),
+            pl.BlockSpec((1, c), small),
+            pl.BlockSpec((1, c), small),
+        ],
+        out_specs=[
+            # dx_q: written in phase 1; parked on block 0 before, and on the
+            # last-written block after, so no unwritten window ever flushes
+            # over valid data
+            pl.BlockSpec(
+                (1, chunk, c),
+                lambda bi, ph, ci: (bi, ci * (ph == 1) +
+                                    (nchunks - 1) * (ph >= 2), 0)),
+            # dx_kv: written in phase 3, parked on block 0 before
+            pl.BlockSpec((1, chunk, c),
+                         lambda bi, ph, ci: (bi, ci * (ph == 3), 0)),
+            pl.BlockSpec((c, 3 * hidden), small),
+            pl.BlockSpec((hidden, c), small),
+            pl.BlockSpec((1, c), small),
+            pl.BlockSpec((1, c), small),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), dtype),
+            jax.ShapeDtypeStruct((b, n, c), dtype),
+            jax.ShapeDtypeStruct((c, 3 * hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, hidden), jnp.float32),        # m
+            pltpu.VMEM((1, hidden), jnp.float32),        # s
+            pltpu.VMEM((hidden, hidden), jnp.float32),   # C
+            pltpu.VMEM((hidden, hidden), jnp.float32),   # Chat
+            pltpu.VMEM((hidden, hidden), jnp.float32),   # dChat accum
+            pltpu.VMEM((hidden, hidden), jnp.float32),   # dC
+            pltpu.VMEM((1, hidden), jnp.float32),        # ds
+            pltpu.VMEM((c, 3 * hidden), jnp.float32),    # dWqkv accum
+            pltpu.VMEM((hidden, c), jnp.float32),        # dWout accum
+            pltpu.VMEM((1, c), jnp.float32),             # dbout accum
+            pltpu.VMEM((1, c), jnp.float32),             # dg accum
+        ],
+        interpret=interpret,
+    )(x, dy, w_qkv, w_out, b_out.reshape(1, c), g_out.reshape(1, c))
+    dxq, dxkv, dwqkv, dwout, dbout, dg = outs
+    return dxq, dxkv, dwqkv, dwout, dbout.reshape(b_out.shape), \
+        dg.reshape(g_out.shape)
+
+
 def _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
     n, c = x.shape[1], x.shape[2]
     hidden = heads * dim_head
@@ -339,6 +622,23 @@ def _fused_fwd(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
 
 def _fused_bwd(heads, dim_head, eps, residuals, g):
     x, w_qkv, w_out, b_out, g_out = residuals
+    n, c = x.shape[1], x.shape[2]
+    hidden = heads * dim_head
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and hidden % 128 == 0
+        and c % 8 == 0
+        and n % min(2048, n) == 0
+        and n % 8 == 0
+    )
+    if use_pallas:
+        try:
+            dxq, dxkv, dwqkv, dwout, dbout, dg = _pallas_fused_bwd(
+                x, g.astype(x.dtype), w_qkv, w_out, b_out, g_out, heads,
+                dim_head, eps)
+            return dxq + dxkv, dwqkv, dwout, dbout, dg
+        except Exception:  # pragma: no cover - fallback safety net
+            pass
     _, vjp = jax.vjp(
         lambda *a: _xla_fused(*a, heads, dim_head, eps),
         x, w_qkv, w_out, b_out, g_out)

@@ -118,6 +118,30 @@ class TestFusedBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    @pytest.mark.parametrize("c,n,b", [(64, 256, 2), (128, 4096, 1)])
+    def test_pallas_bwd_interpret_matches_autodiff(self, rng, c, n, b):
+        """Analytic Pallas backward vs jax.vjp of the XLA composition.
+
+        fp32 everywhere so the in-kernel dtype casts are no-ops and the
+        two gradients agree to float tolerance (incl. the exact
+        cancellation of the running-max gradient)."""
+        w_qkv, w_out, b_out, g_out = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        dy = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+
+        _, vjp = jax.vjp(
+            lambda *a: LA._xla_fused(*a, HEADS, D, 1e-5),
+            x, w_qkv, w_out, b_out, g_out)
+        ref = vjp(dy)
+
+        dxq, dxkv, dwqkv, dwout, dbout, dg = LA._pallas_fused_bwd(
+            x, dy, w_qkv, w_out, b_out, g_out, HEADS, D, 1e-5,
+            interpret=True)
+        got = (dxq + dxkv, dwqkv, dwout, dbout, dg)
+        for g_got, g_ref in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                       atol=5e-4, rtol=5e-4)
+
     def test_fused_grads_flow_to_all_params(self, rng):
         c = 64
         w_qkv, w_out, b_out, g_out = self._params(rng, c)

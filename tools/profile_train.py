@@ -1,0 +1,142 @@
+"""Profile the production training step on the real chip.
+
+Measures, at the production config (batch 16/chip @ 256^2, bf16 + remat):
+  1. fwd-only loss (chained scan, varied keys)
+  2. fwd+bwd (value_and_grad, grad-accumulated in the scan carry)
+  3. (2) with LinearAttention forced onto the XLA fallback, to isolate what
+     the fused Pallas forward + XLA backward currently costs vs full XLA.
+
+Chained scans + per-rep varied inputs defeat the axon tunnel's
+(executable, args) memoization (CLAUDE.md gotcha).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_train.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pointreggpt_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import DiffusionUNet
+
+BATCH = 16
+SIZE = 256
+K = 8  # chained steps per timed call
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def build():
+    remat = os.environ.get("PROF_REMAT", "1") == "1"
+    log(f"remat={remat}")
+    model = DiffusionUNet(dim=64, param_cond_dim=4, dim_mults=(1, 2, 4, 8),
+                          channels=1, dtype=jnp.bfloat16, remat=remat)
+    diffusion = GaussianDiffusion(
+        apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+        image_size=SIZE, timesteps=1000, sampling_timesteps=250,
+        loss_type="l1", objective="pred_x0", beta_schedule="sigmoid")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, SIZE, SIZE, 1)), jnp.zeros((1,)),
+                        jnp.zeros((1, 4)))
+    return model, diffusion, params
+
+
+def timed(fn, *args, reps=3):
+    outs = fn(jax.random.PRNGKey(123), *args)
+    jax.block_until_ready(outs)
+    ts = []
+    for i in range(reps):
+        k = jax.random.PRNGKey(1000 + i)
+        t0 = time.time()
+        jax.block_until_ready(fn(k, *args))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main():
+    log(f"backend={jax.default_backend()}")
+    model, diffusion, params = build()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (BATCH, SIZE, SIZE, 1)), jnp.float32)
+    intr = jnp.tile(jnp.asarray([[[312.0, 0, 128.0], [0, 312.0, 128.0],
+                                  [0, 0, 1]]], jnp.float32), (BATCH, 1, 1))
+
+    def loss_fn(p, k):
+        return diffusion.training_loss(p, k, img, intr)
+
+    @jax.jit
+    def fwd_chain(key, p):
+        def body(c, k):
+            return c + loss_fn(p, k), None
+        out, _ = jax.lax.scan(body, 0.0, jax.random.split(key, K))
+        return out
+
+    @jax.jit
+    def fwdbwd_chain(key, p):
+        def body(carry, k):
+            acc, lacc = carry
+            l, g = jax.value_and_grad(loss_fn)(p, k)
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+            return (acc, lacc + l), None
+        zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+        (gs, ls), _ = jax.lax.scan(body, (zero, 0.0),
+                                   jax.random.split(key, K))
+        # reduce over EVERY grad leaf so no part of the backward is DCE'd
+        gnorm = sum(jnp.sum(jnp.square(g))
+                    for g in jax.tree_util.tree_leaves(gs))
+        return ls, gnorm
+
+    log("compiling fwd chain...")
+    t_fwd = timed(fwd_chain, params) / K
+    log(f"fwd-only: {1000*t_fwd:.1f} ms/step (batch {BATCH}) "
+        f"-> {BATCH/t_fwd:.1f} img/s fwd")
+
+    log("compiling fwd+bwd chain (pallas fwd, xla bwd)...")
+    t_fb = timed(fwdbwd_chain, params) / K
+    log(f"fwd+bwd: {1000*t_fb:.1f} ms/step -> {BATCH/t_fb:.1f} img/s")
+
+    # force XLA fallback for the fused linear-attention block
+    from pointreggpt_tpu.ops import linear_attention as la
+    orig = la._dispatch_fused
+    la._dispatch_fused = la._xla_fused
+    try:
+        @jax.jit
+        def fwdbwd_xla(key, p):
+            return fwdbwd_chain.__wrapped__(key, p)
+
+        log("compiling fwd+bwd chain (pure XLA attention)...")
+        t_fb_xla = timed(fwdbwd_xla, params) / K
+        log(f"fwd+bwd XLA-attn: {1000*t_fb_xla:.1f} ms/step "
+            f"-> {BATCH/t_fb_xla:.1f} img/s")
+
+        @jax.jit
+        def fwd_xla(key, p):
+            return fwd_chain.__wrapped__(key, p)
+
+        t_fwd_xla = timed(fwd_xla, params) / K
+        log(f"fwd-only XLA-attn: {1000*t_fwd_xla:.1f} ms/step")
+    finally:
+        la._dispatch_fused = orig
+
+    log("summary:")
+    log(f"  fwd pallas {1000*t_fwd:.1f} ms | fwd xla {1000*t_fwd_xla:.1f} ms")
+    log(f"  fwd+bwd pallas-fwd/xla-bwd {1000*t_fb:.1f} ms | "
+        f"full-xla {1000*t_fb_xla:.1f} ms")
+    log(f"  bwd-side cost (t_fb - t_fwd): {1000*(t_fb - t_fwd):.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
