@@ -45,7 +45,9 @@ def main():
     from pointreggpt_tpu.generate.generator import Generator
     from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
 
-    batch = 8  # profiled sweet spot on v5e: 43.7 vs 26.5 pairs/min at batch 4
+    # profiled sweet spot on v5e: 43.7 vs 26.5 pairs/min at batch 4 (round
+    # 1); PRGPT_BENCH_BATCH overrides for batch-size experiments
+    batch = int(os.environ.get("PRGPT_BENCH_BATCH", "8"))
     image_size = 256
     sampling_timesteps = 250
     memory_capacity = 1 << 18
