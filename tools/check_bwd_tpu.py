@@ -3,6 +3,10 @@
 Chained: K calls inside one jitted lax.scan with per-iteration-varied dy
 (the axon tunnel memoizes identical calls and a single call is dominated by
 the ~28 ms tunnel round-trip — CLAUDE.md benchmark gotcha).
+
+VARIATION NOTE: inputs are varied by >=1% steps — bf16 cannot
+represent 1e-6-relative changes, so smaller steps produce bit-identical
+inputs that the axon tunnel memoizes (times collapse to ~0.01 ms).
 """
 
 import os
@@ -34,7 +38,7 @@ def bench(fn, *args, reps=3):
     ts = []
     for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(fn(jnp.float32(1.0 + 1e-6 * (i + 1)), *args))
+        jax.block_until_ready(fn(jnp.float32(1.0 + 0.01 * (i + 1)), *args))
         ts.append(time.time() - t0)
     return min(ts) / K
 
@@ -56,7 +60,7 @@ def main():
         def pal_chain(eps, x, dy):
             def body(acc, i):
                 outs = LA._pallas_fused_bwd(
-                    x, (dy * (eps + i * 1e-7)).astype(dy.dtype), w_qkv, w_out, b_out, g_out,
+                    x, (dy * (eps + i * 0.01)).astype(dy.dtype), w_qkv, w_out, b_out, g_out,
                     HEADS, D, 1e-3)
                 return acc + outs[2][0, 0] + outs[0][0, 0, 0].astype(
                     jnp.float32), None
@@ -69,7 +73,7 @@ def main():
                 _, vjp = jax.vjp(
                     lambda *w: LA._xla_fused(*w, HEADS, D, 1e-3),
                     x, w_qkv, w_out, b_out, g_out)
-                outs = vjp((dy * (eps + i * 1e-7)).astype(dy.dtype))
+                outs = vjp((dy * (eps + i * 0.01)).astype(dy.dtype))
                 return acc + outs[1][0, 0] + outs[0][0, 0, 0].astype(
                     jnp.float32), None
             out, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
@@ -79,7 +83,7 @@ def main():
         def fwd_chain(eps, x, dy):
             def body(acc, i):
                 out = LA._pallas_fused(
-                    (x * (eps + i * 1e-7)).astype(x.dtype), w_qkv, w_out, b_out, g_out,
+                    (x * (eps + i * 0.01)).astype(x.dtype), w_qkv, w_out, b_out, g_out,
                     HEADS, D, 1e-3)
                 return acc + out[0, 0, 0].astype(jnp.float32), None
             out, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))

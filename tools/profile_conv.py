@@ -7,6 +7,10 @@ Variants per shape (NHWC, bf16, 3x3 SAME):
             + one K=C_in remainder (fuller MXU contraction dim)
 
 All timed as K-step chained scans with varied inputs (axon memoization).
+
+VARIATION NOTE: inputs are varied by >=1% steps — bf16 cannot
+represent 1e-6-relative changes, so smaller steps produce bit-identical
+inputs that the axon tunnel memoizes (times collapse to ~0.01 ms).
 """
 
 import os
@@ -246,7 +250,7 @@ def bench(fn, x, w, reps=3):
     @jax.jit
     def chain(eps, x, w):
         def body(acc, i):
-            out = fn((x * (eps + i * 1e-7)).astype(x.dtype), w)
+            out = fn((x * (eps + i * 0.01)).astype(x.dtype), w)
             # reduce over the FULL output or XLA slices the conv to one
             # live pixel (DCE) and the timing is fiction
             return acc + jnp.sum(out.astype(jnp.float32)), None
@@ -257,7 +261,7 @@ def bench(fn, x, w, reps=3):
     ts = []
     for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(chain(jnp.float32(1.0 + 1e-6 * (i + 1)), x, w))
+        jax.block_until_ready(chain(jnp.float32(1.0 + 0.01 * (i + 1)), x, w))
         ts.append(time.time() - t0)
     return min(ts) / K
 
@@ -270,7 +274,7 @@ def bench_grad(fn, x, w, reps=3):
                 out = fn(xx, ww)
                 return jnp.sum(out.astype(jnp.float32)**2)
             gx, gw = jax.grad(loss, argnums=(0, 1))(
-                (x * (eps + i * 1e-7)).astype(x.dtype), w)
+                (x * (eps + i * 0.01)).astype(x.dtype), w)
             # full reductions: a single live element lets XLA slice the
             # dgrad conv down to a 3x3 neighborhood
             return (acc + jnp.sum(gx.astype(jnp.float32)) +
@@ -282,7 +286,7 @@ def bench_grad(fn, x, w, reps=3):
     ts = []
     for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(chain(jnp.float32(1.0 + 1e-6 * (i + 1)), x, w))
+        jax.block_until_ready(chain(jnp.float32(1.0 + 0.01 * (i + 1)), x, w))
         ts.append(time.time() - t0)
     return min(ts) / K
 
