@@ -63,12 +63,13 @@ def bench_module(name, mod, *shapes, cond_dim=None, reps=3):
                               jnp.arange(K, dtype=jnp.float32))
         return out
 
-    jax.block_until_ready(chain(jnp.float32(1.0), params, *args))
+    float(chain(jnp.float32(1.0), params, *args))  # warm; force transfer
     ts = []
     for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(
-            chain(jnp.float32(1.0 + 0.01 * (i + 1)), params, *args))
+        # float() forces the device->host transfer: block_until_ready alone
+        # returned early here (times collapsed to dispatch cost)
+        float(chain(jnp.float32(1.0 + 0.01 * (i + 1)), params, *args))
         ts.append(time.time() - t0)
     t = min(ts) / K
     log(f"{name}: {1000*t:.3f} ms")
@@ -164,12 +165,11 @@ def main():
         out, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
         return out
 
-    jax.block_until_ready(full_chain(jnp.float32(1.0), params, x))
+    float(full_chain(jnp.float32(1.0), params, x))
     ts = []
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(
-            full_chain(jnp.float32(1.0 + 0.01 * (i + 1)), params, x))
+        float(full_chain(jnp.float32(1.0 + 0.01 * (i + 1)), params, x))
         ts.append(time.time() - t0)
     log(f"full U-Net forward: {1000*min(ts)/K:.2f} ms")
 
