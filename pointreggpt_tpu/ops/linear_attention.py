@@ -192,7 +192,7 @@ def _pallas_fused(x: Array, w_qkv: Array, w_out: Array, b_out: Array,
 
     b, n, c = x.shape
     hidden = heads * dim_head
-    chunk = min(2048, n)
+    chunk = _fwd_chunk(n, c)
     assert n % chunk == 0
     nchunks = n // chunk
     scale = dim_head**-0.5 / n
@@ -575,6 +575,13 @@ def _pallas_fused_bwd(x: Array, dy: Array, w_qkv: Array, w_out: Array,
         dg.reshape(g_out.shape)
 
 
+def _fwd_chunk(n: int, c: int) -> int:
+    """Fused-forward chunk: narrow channels leave VMEM headroom, so double
+    the chunk to halve the per-grid-step overhead (the fp32 q-path
+    temporaries stay under ~12 MB)."""
+    return min(4096 if c <= 64 else 2048, n)
+
+
 def _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
     n, c = x.shape[1], x.shape[2]
     hidden = heads * dim_head
@@ -582,7 +589,7 @@ def _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
         jax.default_backend() == "tpu"
         and hidden % 128 == 0
         and c % 8 == 0
-        and n % min(2048, n) == 0
+        and n % _fwd_chunk(n, c) == 0
         and n % 8 == 0
     )
     if use_pallas:

@@ -118,7 +118,8 @@ class TestFusedBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
-    @pytest.mark.parametrize("c,n,b", [(64, 256, 2), (128, 4096, 1)])
+    @pytest.mark.parametrize("c,n,b", [(64, 256, 2), (128, 4096, 1),
+                                       (256, 2048, 1)])
     def test_pallas_bwd_interpret_matches_autodiff(self, rng, c, n, b):
         """Analytic Pallas backward vs jax.vjp of the XLA composition.
 

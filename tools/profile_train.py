@@ -30,7 +30,7 @@ import numpy as np
 from pointreggpt_tpu.diffusion import GaussianDiffusion
 from pointreggpt_tpu.models import DiffusionUNet
 
-BATCH = 16
+BATCH = int(os.environ.get("PROF_BATCH", "16"))
 SIZE = 256
 K = 8  # chained steps per timed call
 
