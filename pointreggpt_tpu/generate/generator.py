@@ -267,10 +267,16 @@ class Generator:
             chunk = scene_indices[chunk_start:chunk_start + self.batch_size]
             batch = len(chunk)
 
-            # resume: skip a fully-written chunk (sdd:2370-2381)
+            # resume: skip a fully-written chunk (sdd:2370-2381).
+            # FIXED DIVERGENCE: the reference probes
+            # sample-{num_samples//2}.cloud.ply (sdd:2372) but only ever
+            # writes cloud indices 0 and 1 (the fragment PLY index is
+            # hardcoded to 1, sdd:2654-2657), so its resume silently
+            # re-generates everything for num_samples >= 4; clamp to the
+            # last cloud actually written.
             probe = self.samples_folder / \
                 "scene-{:0>6d}/sample-{:0>6d}.cloud.ply".format(
-                    chunk[-1], num_samples // 2)
+                    chunk[-1], min(num_samples // 2, 1))
             if probe.is_file():
                 if verbose:
                     print("Skip completed scenes "

@@ -323,8 +323,10 @@ def _pallas_fused_bwd(x: Array, dy: Array, w_qkv: Array, w_out: Array,
 
     b, n, c = x.shape
     hidden = heads * dim_head
-    # the q-path backward holds ~10 fp32 (chunk, c) temporaries on the
-    # scoped-VMEM stack (16 MB limit): cap chunk * max(c, hidden) at 2048*64
+    # the q-path backward holds ~5 fp32 (chunk, hidden) plus ~6 fp32
+    # (chunk, c) temporaries on the scoped-VMEM stack (16 MB limit); at
+    # chunk 2048 that fits through c=128 and overflows at c=256, so halve
+    # the chunk while chunk * c exceeds the measured-safe 2048 * 128
     chunk = min(2048, n)
     while chunk > 128 and chunk * c > 2048 * 128:
         chunk //= 2

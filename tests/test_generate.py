@@ -209,6 +209,15 @@ class TestGenerator:
                      info_train=info)
         assert "Skip" in capsys.readouterr().out
 
+        # num_samples >= 4: the probe must clamp to cloud index 1 (the
+        # reference probes index num_samples//2, which it never writes —
+        # sdd:2372 vs 2654-2657 — and so never resumes)
+        probe1 = tmp_path / "gen/data/scene-000000/sample-000001.cloud.ply"
+        plyio.write_ply(probe1, np.zeros((1, 3)))
+        gen.generate(0, 1, num_samples=4, has_refine_step=False,
+                     info_train=info)
+        assert "Skip" in capsys.readouterr().out
+
 
 @pytest.mark.slow
 class TestMakeDepthCorrectionData:

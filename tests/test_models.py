@@ -44,9 +44,9 @@ class TestBlocks:
         p = up.init(jax.random.PRNGKey(0), x)
         assert up.apply(p, x).shape == (1, 16, 16, 3)
 
-    def test_upsample_subpixel_matches_repeat_conv(self, rng):
-        """The 4-phase subpixel decomposition must equal nearest-2x repeat
-        followed by a SAME 3x3 conv with the same kernel/bias exactly."""
+    def test_upsample_dilated_matches_repeat_conv(self, rng):
+        """The shipped input-dilated-conv formulation must equal nearest-2x
+        repeat followed by a SAME 3x3 conv with the same kernel/bias."""
         x = jnp.asarray(rng.normal(size=(2, 8, 16, 6)), jnp.float32)
         up = B.Upsample(5)
         p = up.init(jax.random.PRNGKey(1), x)

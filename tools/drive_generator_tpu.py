@@ -89,8 +89,7 @@ for sid in range(4):
     pose = np.loadtxt(scene / "sample-000001.pose.txt")
     np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)
 
-# steady-state rate (second run resumes -> regenerate scene range 4..8)
-folder2, info2 = make_3dmatch_tree(tmp, n_scenes=4)
+# resume probe: a second run over the completed range must skip instantly
 t0 = time.time()
 gen.generate(0, 4, num_samples=2, has_refine_step=False, info_train=info,
              verbose=False)

@@ -305,7 +305,8 @@ def main():
         w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05,
                         jnp.bfloat16)
         flops = 2 * b * h * w_ * cin * cout * 9
-        for name, fn in [("conv", conv_xla),
+        for name, fn in [("conv", conv_xla), ("shift9", conv_shift9),
+                         ("pair", conv_pair),
                          ("pallas", lambda a, b_: _conv3x3_pallas(a, b_))]:
             t = bench(fn, x, w)
             # correctness vs conv

@@ -108,10 +108,19 @@ def main():
     t_fb = timed(fwdbwd_chain, params) / K
     log(f"fwd+bwd: {1000*t_fb:.1f} ms/step -> {BATCH/t_fb:.1f} img/s")
 
-    # force XLA fallback for the fused linear-attention block
+    # force the XLA fallback for BOTH directions of the fused block:
+    # patching _dispatch_fused alone only changes the forward — _fused_bwd
+    # dispatches the Pallas backward on its own backend check, so also
+    # make _pallas_fused_bwd raise (its try/except then takes the XLA vjp)
     from pointreggpt_tpu.ops import linear_attention as la
+
+    def _no_pallas(*a, **k):
+        raise RuntimeError("forced XLA backward for comparison")
+
     orig = la._dispatch_fused
+    orig_bwd = la._pallas_fused_bwd
     la._dispatch_fused = la._xla_fused
+    la._pallas_fused_bwd = _no_pallas
     try:
         @jax.jit
         def fwdbwd_xla(key, p):
@@ -130,6 +139,7 @@ def main():
         log(f"fwd-only XLA-attn: {1000*t_fwd_xla:.1f} ms/step")
     finally:
         la._dispatch_fused = orig
+        la._pallas_fused_bwd = orig_bwd
 
     log("summary:")
     log(f"  fwd pallas {1000*t_fwd:.1f} ms | fwd xla {1000*t_fwd_xla:.1f} ms")
