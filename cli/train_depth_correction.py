@@ -40,6 +40,7 @@ def main(argv=None) -> None:
         epochs=cfg.epochs,
         results_folder=cfg.results_folder,
         samples_folder=cfg.samples_folder,
+        val_batch_size=cfg.val_batch_size,
         seed=cfg.seed,
     )
 

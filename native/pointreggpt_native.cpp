@@ -17,6 +17,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <zlib.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -28,14 +30,15 @@ extern "C" {
 int depth_preprocess(const uint16_t* raw, int h, int w, int out_size,
                      int flip, float* out) {
   if (h <= 0 || w <= 0 || out_size <= 0) return 1;
-  // short-side resize dims
+  // short-side resize dims; long side TRUNCATED like torchvision's
+  // int(size * long / short) (sdd:1537) and intrinsic_transform's floor
   int new_h, new_w;
   if (h <= w) {
     new_h = out_size;
-    new_w = (int)std::nearbyint((double)out_size * w / h);
+    new_w = (int)((double)out_size * w / h);
   } else {
     new_w = out_size;
-    new_h = (int)std::nearbyint((double)out_size * h / w);
+    new_h = (int)((double)out_size * h / w);
   }
   if (new_h < out_size || new_w < out_size) return 2;
   // center-crop offsets (round half to even: Python round() parity)
@@ -145,6 +148,139 @@ void radius_hits(const float* src, int64_t n_src, const float* tgt,
         }
     hits[i] = hit ? 1 : 0;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Minimal 16-bit grayscale PNG decoder (zlib inflate + unfilter). The
+// training dataloader's true host bottleneck was PIL/zlib *Python-side*
+// decode of the 3DMatch depth frames (sdd:1550: PIL.Image.open per item);
+// resize/crop/scale was already native but decode was not. Supports exactly
+// the production format — bit depth 16, color type 0 (grayscale),
+// deflate, filters 0-4, non-interlaced (what 3DMatch ships and cv2
+// writes); anything else returns an error and callers fall back to PIL.
+
+static inline uint32_t be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+static const uint8_t kPngSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+
+// Parse IHDR. Returns 0 and fills (*h, *w) for a decodable image; >0 error.
+int png16_dims(const uint8_t* data, int64_t n, int* h, int* w) {
+  if (n < 33 || std::memcmp(data, kPngSig, 8) != 0) return 1;
+  if (be32(data + 8) != 13 || std::memcmp(data + 12, "IHDR", 4) != 0)
+    return 2;
+  uint32_t width = be32(data + 16), height = be32(data + 20);
+  uint8_t bit_depth = data[24], color_type = data[25];
+  uint8_t compression = data[26], filter = data[27], interlace = data[28];
+  if (width == 0 || height == 0 || width > (1u << 24) ||
+      height > (1u << 24))
+    return 3;
+  if (bit_depth != 16 || color_type != 0) return 4;  // not 16-bit gray
+  if (compression != 0 || filter != 0 || interlace != 0) return 5;
+  *h = (int)height;
+  *w = (int)width;
+  return 0;
+}
+
+static inline int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// Decode into out (h*w native-endian uint16, row-major). Returns 0 ok.
+int png16_decode(const uint8_t* data, int64_t n, uint16_t* out,
+                 int64_t out_capacity) {
+  int h, w;
+  int rc = png16_dims(data, n, &h, &w);
+  if (rc != 0) return rc;
+  if ((int64_t)h * w > out_capacity) return 6;
+
+  const size_t rowbytes = (size_t)w * 2;
+  const size_t raw_size = (size_t)h * (rowbytes + 1);
+  std::vector<uint8_t> raw(raw_size);
+
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return 7;
+  zs.next_out = raw.data();
+  zs.avail_out = (uInt)raw_size;
+
+  // walk chunks, feeding every IDAT straight into inflate (no concat copy)
+  int64_t off = 8;
+  bool done = false;
+  int zrc = Z_OK;
+  while (off + 12 <= n && !done) {
+    uint32_t len = be32(data + off);
+    const uint8_t* type = data + off + 4;
+    if (off + 12 + (int64_t)len > n) break;
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      zs.next_in = const_cast<uint8_t*>(data + off + 8);
+      zs.avail_in = len;
+      zrc = inflate(&zs, Z_NO_FLUSH);
+      if (zrc == Z_STREAM_END) done = true;
+      else if (zrc != Z_OK && zrc != Z_BUF_ERROR) break;
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    off += 12 + (int64_t)len;
+  }
+  bool complete = (zs.total_out == raw_size);
+  inflateEnd(&zs);
+  if (!complete) return 8;
+
+  // unfilter (bpp = 2) + big-endian -> native
+  std::vector<uint8_t> prev(rowbytes, 0);
+  for (int r = 0; r < h; ++r) {
+    uint8_t* row = raw.data() + (size_t)r * (rowbytes + 1);
+    uint8_t ftype = row[0];
+    uint8_t* cur = row + 1;
+    switch (ftype) {
+      case 0:
+        break;
+      case 1:  // sub
+        for (size_t i = 2; i < rowbytes; ++i) cur[i] += cur[i - 2];
+        break;
+      case 2:  // up
+        for (size_t i = 0; i < rowbytes; ++i) cur[i] += prev[i];
+        break;
+      case 3:  // average
+        for (size_t i = 0; i < 2; ++i) cur[i] += prev[i] / 2;
+        for (size_t i = 2; i < rowbytes; ++i)
+          cur[i] += (uint8_t)(((int)cur[i - 2] + prev[i]) / 2);
+        break;
+      case 4:  // paeth
+        for (size_t i = 0; i < 2; ++i)
+          cur[i] += (uint8_t)paeth(0, prev[i], 0);
+        for (size_t i = 2; i < rowbytes; ++i)
+          cur[i] += (uint8_t)paeth(cur[i - 2], prev[i], prev[i - 2]);
+        break;
+      default:
+        return 9;
+    }
+    uint16_t* dst = out + (size_t)r * w;
+    for (int c = 0; c < w; ++c)
+      dst[c] = (uint16_t)((cur[2 * c] << 8) | cur[2 * c + 1]);
+    std::memcpy(prev.data(), cur, rowbytes);
+  }
+  return 0;
+}
+
+// Fused decode + model-space preprocessing: PNG bytes -> (out_size^2)
+// float32 [0,1], one call per dataloader item. Returns 0 ok.
+int png16_depth_preprocess(const uint8_t* data, int64_t n, int out_size,
+                           int flip, float* out) {
+  int h, w;
+  int rc = png16_dims(data, n, &h, &w);
+  if (rc != 0) return rc;
+  std::vector<uint16_t> raw((size_t)h * w);
+  rc = png16_decode(data, n, raw.data(), (int64_t)h * w);
+  if (rc != 0) return rc;
+  return depth_preprocess(raw.data(), h, w, out_size, flip, out);
 }
 
 // ---------------------------------------------------------------------------

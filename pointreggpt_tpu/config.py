@@ -26,6 +26,11 @@ class ModelConfig:
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
     channels: int = 1
     resnet_block_groups: int = 8
+    # dormant reference surface (sdd:811-815): off in every entry script
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
     bf16: bool = True  # TPU MXU compute dtype
     remat: bool = False  # ResnetBlock rematerialization (training memory)
 
@@ -87,6 +92,9 @@ class MaskTrainConfig:
     train_lr: float = 4e-5
     lr_gamma: float = 0.95
     epochs: int = 100
+    # batched validation (the reference evaluates item-by-item, dc:1347);
+    # per-item metrics are computed on device and averaged identically
+    val_batch_size: int = 8
     results_folder: str = "./depth_correction_results"
     samples_folder: str = "./depth_correction_samples"
     seed: int = 0
@@ -173,6 +181,10 @@ def build_diffusion_unet(cfg: ModelConfig):
         dim=cfg.dim, param_cond_dim=cfg.param_cond_dim,
         dim_mults=cfg.dim_mults, channels=cfg.channels,
         resnet_block_groups=cfg.resnet_block_groups,
+        learned_variance=cfg.learned_variance,
+        learned_sinusoidal_cond=cfg.learned_sinusoidal_cond,
+        random_fourier_features=cfg.random_fourier_features,
+        learned_sinusoidal_dim=cfg.learned_sinusoidal_dim,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         remat=cfg.remat)
 

@@ -16,8 +16,23 @@ import numpy as np
 from PIL import Image
 
 
-def read_depth_png(path: Union[str, os.PathLike]) -> np.ndarray:
-    """Read a 16-bit depth PNG to (h, w) uint16/int32 raw values."""
+def read_depth_png(path: Union[str, os.PathLike],
+                   use_native: bool = True) -> np.ndarray:
+    """Read a 16-bit depth PNG to (h, w) uint16/int32 raw values.
+
+    The production 16-bit grayscale frames decode through the native zlib
+    decoder (``native.png16_decode``, bit-identical — tests/test_native.py);
+    other formats fall back to PIL.
+    """
+    if use_native:
+        from pointreggpt_tpu import native
+
+        if native.is_available():
+            with open(path, "rb") as f:
+                data = f.read()
+            out = native.png16_decode(data)
+            if out is not None:
+                return out
     img = Image.open(path)
     return np.asarray(img)
 
@@ -37,15 +52,19 @@ def resize_nearest_short_side(img: np.ndarray, size: int) -> np.ndarray:
     """Resize so the short side == size, NEAREST interpolation (PIL parity).
 
     Matches torchvision ``T.Resize(size, NEAREST)`` on PIL images
-    (sdd:1537).
+    (sdd:1537): the long side is ``int(size * long / short)`` — TRUNCATED,
+    not rounded — which also matches ``geometry.intrinsic_transform``'s
+    floor, keeping the pixel grid and the adjusted intrinsics aligned for
+    every input aspect ratio (identical at 640x480 where 341.33 floors and
+    rounds alike; divergent e.g. at 500x300 -> 426 vs 427).
     """
     h, w = img.shape[:2]
     if h <= w:
         new_h = size
-        new_w = int(round(size * w / h))
+        new_w = int(size * w / h)
     else:
         new_w = size
-        new_h = int(round(size * h / w))
+        new_h = int(size * h / w)
     pil = Image.fromarray(img)
     pil = pil.resize((new_w, new_h), resample=Image.NEAREST)
     return np.asarray(pil)
@@ -75,16 +94,23 @@ def load_depth_model_space(
     short side -> image_size, center crop, scale raw mm by 1e-4 so 1.0 ==
     10 m, clip values above 1 to 0 (invalid), optional horizontal flip.
 
-    The resize/crop/scale runs through the native C++ kernel when the
-    library is built (bit-identical to the Python path; tests/test_native.py),
-    falling back to PIL/numpy otherwise.
+    The whole pipeline — PNG decode (zlib inflate + unfilter) AND
+    resize/crop/scale — runs through one native C++ call when the library
+    is built (bit-identical to the Python path; tests/test_native.py),
+    falling back to PIL/numpy otherwise. Python-side PIL decode was the
+    training input pipeline's bottleneck on few-core hosts (round-2
+    measurement: ~45 of 81 device-capable img/s).
     """
-    raw = read_depth_png(path)
-    if use_native and raw.dtype == np.uint16:
+    if use_native:
         from pointreggpt_tpu import native
 
         if native.is_available():
-            return native.depth_preprocess(raw, image_size, flip=flip)
+            with open(path, "rb") as f:
+                data = f.read()
+            out = native.png16_depth_preprocess(data, image_size, flip=flip)
+            if out is not None:
+                return out
+    raw = read_depth_png(path, use_native=use_native)
     raw = resize_nearest_short_side(raw, image_size)
     raw = center_crop(raw, image_size)
     depth = raw.astype(np.float32) * 1e-4

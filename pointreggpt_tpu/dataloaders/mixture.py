@@ -238,6 +238,49 @@ class MixturePairDataset:
             points = points[idx]
         return points
 
+    def cube_crop(self, ref_points: np.ndarray, src_points: np.ndarray,
+                  size: float = 3.0):
+        """Random rotated-cube crop around a shared overlap point.
+
+        Port of geotrans/dataset.py:142-184 (``_cube_crop`` — defined but
+        never called in the reference's ``__getitem__`` either; kept for
+        API parity and available to users who wire it in). Picks a random
+        ref point with a src counterpart within 5 cm, then keeps the points
+        of each cloud that fall inside an independently randomly-rotated
+        axis-test cube of side ``size`` centered there. The cKDTree query
+        is replaced by the tiled device distance kernel
+        (:func:`pointreggpt_tpu.core.pointops.min_dist_sq`).
+        """
+        import jax.numpy as jnp
+
+        from pointreggpt_tpu.core.pointops import min_dist_sq
+
+        ref = np.asarray(ref_points, np.float64)
+        src = np.asarray(src_points, np.float64)
+        d2 = np.asarray(min_dist_sq(
+            jnp.asarray(ref, jnp.float32),
+            jnp.ones((ref.shape[0],), bool),
+            jnp.asarray(src, jnp.float32),
+            jnp.ones((src.shape[0],), bool)))
+        ref_overlap = ref[d2 < 0.05 * 0.05]
+        if ref_overlap.shape[0] == 0:
+            return ref_points, src_points
+
+        center = ref_overlap[self.rng.integers(ref_overlap.shape[0])]
+        lo = center - size / 2
+        hi = center + size / 2
+
+        def crop(points):
+            # rotate about the center with a fresh random rotation, test
+            # the axis-aligned cube, keep the ORIGINAL points (the cube is
+            # effectively randomly oriented)
+            rot = uniform_sample_rotation(self.rng)
+            tmp = (points - center) @ rot.T + center
+            mask = np.all((tmp > lo) & (tmp < hi), axis=1)
+            return points[mask]
+
+        return crop(ref_points), crop(src_points)
+
     def __getitem__(self, index: int) -> Dict:
         meta = self.metadata_list[index]
         ref_points = self._load(meta["pcd0"]).astype(np.float64)

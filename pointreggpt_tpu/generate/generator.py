@@ -38,6 +38,7 @@ from pointreggpt_tpu.core import imageio16, plyio
 from pointreggpt_tpu.core import pointops as P
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 
 BBOX_MIN = (-1.5, -1.5, 0.5)
@@ -69,6 +70,14 @@ class Generator:
         folder: 3DMatch-RGBD train root (scene dirs with camera-intrinsics).
         depth_correction_model: optional MaskUNet for artifact removal.
         memory_capacity: padded scene-memory size per scene.
+        mesh: local device mesh; the scene batch is sharded over its
+            ``data`` axis with params replicated, so ONE process drives all
+            local chips (the reference reaches multi-GPU generation only by
+            wrapping the Generator in Accelerate and launching one process
+            per device, sdd:2267-2271 + barrier :2690 — redesigned here as
+            mesh-DP; multi-HOST runs still shard the scene range via
+            ``parallel.local_scene_range``). Batches not divisible by the
+            device count fall back to replicated (single-chip) placement.
     """
 
     def __init__(self,
@@ -84,7 +93,9 @@ class Generator:
                  train_info_path: str = "./dataset/indoor/metadata/train_info.pkl",
                  data_root: str = "./dataset/indoor/data",
                  memory_capacity: int = 1 << 18,
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None):
+        self.mesh = mesh if mesh is not None else M.create_mesh()
         self.model = model
         self.diffusion = diffusion
         self.folder = folder
@@ -254,6 +265,11 @@ class Generator:
                 info_train = pickle.load(f)
 
         step_fn = self._build_step_fn(has_refine_step, memory_voxel_size)
+        # params replicated on every local chip; the scene batch is sharded
+        # on the data axis below (mesh-DP generation)
+        ema_params = M.replicate(self.mesh, self.ema_params)
+        dc_params = (M.replicate(self.mesh, self.dc_params)
+                     if self.dc_params is not None else None)
         # fold the process index so multi-host shards draw distinct poses
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + start_scene_index),
@@ -272,11 +288,13 @@ class Generator:
             # sample-{num_samples//2}.cloud.ply (sdd:2372) but only ever
             # writes cloud indices 0 and 1 (the fragment PLY index is
             # hardcoded to 1, sdd:2654-2657), so its resume silently
-            # re-generates everything for num_samples >= 4; clamp to the
-            # last cloud actually written.
+            # re-generates everything for num_samples >= 4. Probe index 1
+            # unconditionally: it is written at sample_idx ==
+            # num_samples - 1 for EVERY num_samples >= 1, so it is the true
+            # completion marker (index num_samples//2 = 0 would probe the
+            # pre-generation seed cloud and skip crashed scenes).
             probe = self.samples_folder / \
-                "scene-{:0>6d}/sample-{:0>6d}.cloud.ply".format(
-                    chunk[-1], min(num_samples // 2, 1))
+                "scene-{:0>6d}/sample-000001.cloud.ply".format(chunk[-1])
             if probe.is_file():
                 if verbose:
                     print("Skip completed scenes "
@@ -321,9 +339,10 @@ class Generator:
                 plyio.write_ply(scene_dir / "sample-000000.cloud.ply",
                                 np.asarray(pj)[np.asarray(vj)])
 
-            mem_pts_j = jnp.asarray(mem_pts)
-            mem_valid_j = jnp.asarray(mem_valid)
-            intr_j = jnp.asarray(intrinsic)
+            # shard the scene batch over the local mesh (replicated
+            # fallback when batch % device count != 0, e.g. a tail chunk)
+            mem_pts_j, mem_valid_j, intr_j = M.shard_batch(
+                self.mesh, (mem_pts, mem_valid, intrinsic))
             param_cond = G.param_vector(intr_j)
 
             # --- successive conditional generation ----------------------
@@ -335,7 +354,7 @@ class Generator:
                 key, sub = jax.random.split(key)
                 (pose, images_raw, images_rpj, images, world, world_valid,
                  mem_pts_j, mem_valid_j, overflow) = step_fn(
-                     self.ema_params, self.dc_params, mem_pts_j, mem_valid_j,
+                     ema_params, dc_params, mem_pts_j, mem_valid_j,
                      intr_j, param_cond, sub)
                 if pending is not None:
                     self._write_sample_outputs(

@@ -6,9 +6,13 @@ radius x1.5), keep pairs with max overlap >= 0.1 and no NaN, write the
 per-scene TSV ``gt.log``, then concatenate into ``metadata/gt.log``.
 
 The reference's per-point KD-tree Python loops (its hottest CPU path,
-SURVEY.md §3.4) are replaced by one jitted device program per pair
-(:func:`pointreggpt_tpu.core.pointops.overlap_ratio`), padded to a fixed
-capacity bucket so XLA compiles a handful of shapes, not one per cloud.
+SURVEY.md §3.4) are replaced by device programs built on
+:func:`pointreggpt_tpu.core.pointops.overlap_ratio`. Each scene's clouds
+are read and voxel-downsampled ONCE (the reference re-reads and
+re-downsamples both clouds for every ``combinations(num_samples, 2)`` pair,
+generate_gt.py:75-76), compacted, then ALL pairs are scored in one batched
+jitted call — padded to power-of-two capacity/pair buckets so XLA compiles
+a handful of shapes, not one per cloud.
 """
 
 from __future__ import annotations
@@ -37,6 +41,35 @@ def _overlap_fn(capacity: int, voxel_size: float, overlap_factor: float):
         return P.overlap_ratio(pc1, valid1, pc2, valid2,
                                voxel_size=voxel_size,
                                overlap_factor=overlap_factor)
+
+    return fn
+
+
+@lru_cache(maxsize=8)
+def _voxel_fn(capacity: int, voxel_size: float):
+    @jax.jit
+    def fn(pts, valid):
+        return P.voxel_downsample(pts, valid, voxel_size)
+
+    return fn
+
+
+@lru_cache(maxsize=16)
+def _pair_overlap_fn(capacity: int, pairs: int, voxel_size: float,
+                     overlap_factor: float):
+    """One jitted program scoring a whole batch of ALREADY-DOWNSAMPLED
+    pairs: (p, cap, 3) stacks in, (p,)+(p,) overlap ratios out. Removes the
+    per-pair dispatch/recompile and the per-pair re-downsampling that made
+    the loop ~1 s/pair (round-2 ledger)."""
+
+    @jax.jit
+    def fn(src, srcv, tgt, tgtv):
+        def one(s, sv, t, tv):
+            return P.overlap_ratio(s, sv, t, tv, voxel_size=voxel_size,
+                                   overlap_factor=overlap_factor,
+                                   downsample=False)
+
+        return jax.vmap(one)(src, srcv, tgt, tgtv)
 
     return fn
 
@@ -104,31 +137,71 @@ def generate_gt(dataset_name: str,
                 print("scene gt log has existed, skip over it")
             continue
 
+        # read + voxel-downsample each sample cloud ONCE (the reference
+        # re-reads and re-downsamples both clouds for every pair of the
+        # scene, generate_gt.py:75-76), then score every pair in one
+        # batched device call.
+        clouds = {}
+        for idx in range(num_samples):
+            ply_path = scene_path / "sample-{:0>6d}.cloud.ply".format(idx)
+            if not ply_path.exists():
+                continue
+            pts = plyio.read_ply(ply_path).astype(np.float32)
+            if pts.shape[0] < min_points:
+                continue
+            clouds[idx] = pts
+
+        pair_list = [(s, t) for s, t in combinations(range(num_samples), 2)
+                     if s in clouds and t in clouds]
         gt_infos: List[str] = []
-        for src_idx, tgt_idx in combinations(range(num_samples), 2):
-            src_path = scene_path / "sample-{:0>6d}.cloud.ply".format(src_idx)
-            tgt_path = scene_path / "sample-{:0>6d}.cloud.ply".format(tgt_idx)
-            if not (src_path.exists() and tgt_path.exists()):
-                continue
+        if pair_list:
+            raw_cap = _bucket(max(c.shape[0] for c in clouds.values()))
+            vfn = _voxel_fn(raw_cap, voxel_size)
+            down = {}
+            max_down = 1
+            for idx, pts in clouds.items():
+                p, v = _pad_to_bucket(pts, raw_cap)
+                pj, vj = vfn(p, v)
+                compact = np.asarray(pj)[np.asarray(vj)]
+                down[idx] = compact
+                max_down = max(max_down, compact.shape[0])
 
-            src = plyio.read_ply(src_path).astype(np.float32)
-            tgt = plyio.read_ply(tgt_path).astype(np.float32)
-            if src.shape[0] < min_points or tgt.shape[0] < min_points:
-                continue
+            # compact downsampled clouds into the (smaller) pair bucket:
+            # the O(cap^2) distance tiles shrink accordingly
+            cap = _bucket(max_down)
+            n_pairs = len(pair_list)
+            pair_cap = 1
+            while pair_cap < n_pairs:
+                pair_cap *= 2
+            src = np.zeros((pair_cap, cap, 3), np.float32)
+            srcv = np.zeros((pair_cap, cap), bool)
+            tgt = np.zeros((pair_cap, cap, 3), np.float32)
+            tgtv = np.zeros((pair_cap, cap), bool)
+            for k, (s, t) in enumerate(pair_list):
+                src[k, :down[s].shape[0]] = down[s]
+                srcv[k, :down[s].shape[0]] = True
+                tgt[k, :down[t].shape[0]] = down[t]
+                tgtv[k, :down[t].shape[0]] = True
 
-            ov_src, ov_tgt = compute_overlap_ratio_np(
-                src, tgt, voxel_size=voxel_size,
-                overlap_factor=overlap_factor)
-            if verbose:
-                print(f"{scene_name} src:{src_idx:0>2d} tgt:{tgt_idx:0>2d} "
-                      f"ov_src:{ov_src:.3f} ov_tgt:{ov_tgt:.3f}")
-            if np.isnan(ov_src) or np.isnan(ov_tgt):
-                continue
-            if ov_src < min_overlap and ov_tgt < min_overlap:
-                continue
+            ov1_all, ov2_all = _pair_overlap_fn(
+                cap, pair_cap, voxel_size, overlap_factor)(
+                    jnp.asarray(src), jnp.asarray(srcv), jnp.asarray(tgt),
+                    jnp.asarray(tgtv))
+            ov1_all = np.asarray(ov1_all)
+            ov2_all = np.asarray(ov2_all)
 
-            gt_infos.append("{}\t{}\t{}\t{:.4f}\t{:.4f}\n".format(
-                scene_name, src_idx, tgt_idx, ov_src, ov_tgt))
+            for k, (src_idx, tgt_idx) in enumerate(pair_list):
+                ov_src, ov_tgt = float(ov1_all[k]), float(ov2_all[k])
+                if verbose:
+                    print(f"{scene_name} src:{src_idx:0>2d} "
+                          f"tgt:{tgt_idx:0>2d} ov_src:{ov_src:.3f} "
+                          f"ov_tgt:{ov_tgt:.3f}")
+                if np.isnan(ov_src) or np.isnan(ov_tgt):
+                    continue
+                if ov_src < min_overlap and ov_tgt < min_overlap:
+                    continue
+                gt_infos.append("{}\t{}\t{}\t{:.4f}\t{:.4f}\n".format(
+                    scene_name, src_idx, tgt_idx, ov_src, ov_tgt))
 
         gt_path.parent.mkdir(parents=True, exist_ok=True)
         with open(gt_path, "w") as f:

@@ -27,6 +27,7 @@ from pointreggpt_tpu.core import plyio
 from pointreggpt_tpu.core import pointops as P
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 
 
@@ -41,7 +42,14 @@ def save_triptych(path, image_prev: np.ndarray, image_rpj: np.ndarray,
 
 
 class Tester:
-    """Successive-generation sampler around a trained diffusion model."""
+    """Successive-generation sampler around a trained diffusion model.
+
+    The scene batch of every jitted fn (sampling chain, reproject, memory
+    update) is sharded over the local mesh's ``data`` axis with params
+    replicated — one process drives all local chips (mesh-DP; the reference
+    only reaches multi-GPU through one-Accelerate-process-per-device).
+    Batches not divisible by the device count fall back to replicated.
+    """
 
     def __init__(self,
                  model,
@@ -50,7 +58,9 @@ class Tester:
                  batch_size: int = 16,
                  results_folder: str = "./results",
                  samples_folder: str = "./samples",
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None):
+        self.mesh = mesh if mesh is not None else M.create_mesh()
         self.model = model
         self.diffusion = diffusion
         self.batch_size = batch_size
@@ -87,9 +97,37 @@ class Tester:
             self.results_folder / f"model-{milestone}.ckpt",
             {"params": target_params,
              "ema": {"params": target_params, "step": 0, "initted": False}})
-        self.ema_params = state["ema"]["params"]
+        # params replicated on every local chip (mesh-DP)
+        self.ema_params = M.replicate(self.mesh, state["ema"]["params"])
         if meta.get("version"):
             print(f"loading from version {meta['version']}")
+
+    # ------------------------------------------------------------------
+    # FID helpers (reference: Tester sdd:1915-1935). Feature extraction is
+    # gated host-torch (eval/fid.py); the Fréchet math is always available.
+    def compute_inception_features(self, samples01: np.ndarray) -> np.ndarray:
+        """(n, h, w, 1|3) [0,1] images -> (n, 2048) activations (sdd:1915)."""
+        from pointreggpt_tpu.eval.fid import InceptionFeatures
+
+        if getattr(self, "_inception", None) is None:
+            self._inception = InceptionFeatures()
+        return self._inception(np.asarray(samples01))
+
+    @staticmethod
+    def calculate_activation_statistics(features: np.ndarray):
+        """(n, d) activations -> (mu, sigma) (sdd:1924-1928)."""
+        from pointreggpt_tpu.eval.fid import activation_statistics
+
+        return activation_statistics(features)
+
+    def fid_score(self, real_features: np.ndarray,
+                  fake_features: np.ndarray) -> float:
+        """FID between two activation sets (sdd:1930-1935)."""
+        from pointreggpt_tpu.eval.fid import calculate_frechet_distance
+
+        m1, s1 = self.calculate_activation_statistics(real_features)
+        m2, s2 = self.calculate_activation_statistics(fake_features)
+        return calculate_frechet_distance(m1, s1, m2, s2)
 
     def _random_intrinsics(self, key, batch: int) -> np.ndarray:
         intr = np.asarray(S.random_sample_intrinsic(key, batch))
@@ -105,7 +143,8 @@ class Tester:
         k1, k2 = jax.random.split(key)
         intrinsic = self._random_intrinsics(k1, num_samples)
         images = self._sample_uncond_fn(
-            self.ema_params, k2, G.param_vector(jnp.asarray(intrinsic)))
+            self.ema_params, k2,
+            G.param_vector(M.shard_batch(self.mesh, intrinsic)))
         images = np.asarray(images)
         save_image_grid(images, self.samples_folder / "unconditional.png",
                         nrow=int(math.isqrt(num_samples)))
@@ -124,7 +163,8 @@ class Tester:
             batch = min(self.batch_size, num_scenes - done)
             key, k_intr, k_s = jax.random.split(key, 3)
             intrinsic = self._random_intrinsics(k_intr, batch)
-            param_cond = G.param_vector(jnp.asarray(intrinsic))
+            intr_sh = M.shard_batch(self.mesh, intrinsic)
+            param_cond = G.param_vector(intr_sh)
             absolute_pose = np.tile(np.eye(4, dtype=np.float32),
                                     (batch, 1, 1))
 
@@ -154,14 +194,15 @@ class Tester:
 
                 apply_occ = jnp.asarray(
                     float(np.sum(absolute_pose[..., :3, 3]**2) != 0))
+                images_sh, pose_sh = M.shard_batch(
+                    self.mesh, (images, relative_pose))
                 depth_rpj, mask_rpj = self._reproject_fn(
-                    jnp.asarray(images), jnp.asarray(intrinsic),
-                    jnp.asarray(relative_pose), apply_occ)
+                    images_sh, intr_sh, pose_sh, apply_occ)
                 images_rpj = np.asarray(depth_rpj) * 0.1
                 img_cond = G.normalize_to_neg_one_to_one(
                     jnp.stack([
-                        jnp.asarray(images_rpj),
-                        jnp.asarray(mask_rpj, jnp.float32)
+                        depth_rpj * 0.1,
+                        mask_rpj.astype(jnp.float32)
                     ], axis=-1))
 
                 key, k_s = jax.random.split(key)
@@ -234,14 +275,15 @@ class Tester:
             batch = min(self.batch_size, num_scenes - done)
             key, k_intr, k_s = jax.random.split(key, 3)
             intrinsic = self._random_intrinsics(k_intr, batch)
-            intr_j = jnp.asarray(intrinsic)
+            intr_j = M.shard_batch(self.mesh, intrinsic)
             param_cond = G.param_vector(intr_j)
 
-            images = np.asarray(
-                self._sample_uncond_fn(self.ema_params, k_s, param_cond))
+            images_j = self._sample_uncond_fn(self.ema_params, k_s,
+                                              param_cond)
+            images = np.asarray(images_j)
 
             mem_pts0, mem_valid0 = G.depth_to_points(
-                jnp.asarray(images)[..., 0] * 10.0, intr_j, clip=(0.5, 10.0))
+                images_j[..., 0] * 10.0, intr_j, clip=(0.5, 10.0))
             pad = memory_capacity - mem_pts0.shape[1]
             mem_pts = jnp.pad(mem_pts0, ((0, 0), (0, pad), (0, 0)))
             mem_valid = jnp.pad(mem_valid0, ((0, 0), (0, pad)))
@@ -263,15 +305,15 @@ class Tester:
                 images_rpj = np.asarray(depth_rpj) * 0.1
                 img_cond = G.normalize_to_neg_one_to_one(
                     jnp.stack([
-                        jnp.asarray(images_rpj),
-                        jnp.asarray(mask_rpj, jnp.float32)
+                        depth_rpj * 0.1,
+                        mask_rpj.astype(jnp.float32)
                     ], axis=-1))
                 images_last = images
-                images = np.asarray(
-                    self._sample_fn(self.ema_params, k_s, param_cond,
-                                    img_cond))
+                images_j = self._sample_fn(self.ema_params, k_s, param_cond,
+                                           img_cond)
+                images = np.asarray(images_j)
                 mem_pts, mem_valid, overflow = update_memory(
-                    mem_pts, mem_valid, jnp.asarray(images), pose, intr_j)
+                    mem_pts, mem_valid, images_j, pose, intr_j)
                 for scene_idx, dropped in enumerate(np.asarray(overflow)):
                     if dropped > 0:
                         sid = b_idx * self.batch_size + scene_idx

@@ -110,8 +110,16 @@ class SinusoidalPosEmb(nn.Module):
 class RandomOrLearnedSinusoidalPosEmb(nn.Module):
     """Random (or learned) Fourier features for timesteps.
 
-    Reference: sdd:660-675 (@crowsonkb). Kept for config parity; the entry
-    scripts use the plain sinusoidal embedding.
+    Reference: sdd:660-675 (@crowsonkb). Wired into
+    :class:`~pointreggpt_tpu.models.unet.DiffusionUNet` via
+    ``learned_sinusoidal_cond`` / ``random_fourier_features`` (sdd:836-843);
+    the entry scripts use the plain sinusoidal embedding. Output is
+    ``[t, sin, cos]`` -> dim + 1 features.
+
+    ``is_random=True`` freezes the frequencies: torch keeps them as an
+    ``nn.Parameter(requires_grad=False)`` (still in the state dict), so we
+    keep them in the params tree too and stop the gradient — the optimizer
+    update is exactly zero and checkpoint porting stays uniform.
     """
 
     dim: int
@@ -121,14 +129,10 @@ class RandomOrLearnedSinusoidalPosEmb(nn.Module):
     def __call__(self, t: Array) -> Array:
         assert self.dim % 2 == 0
         half = self.dim // 2
+        weights = self.param("weights", nn.initializers.normal(1.0),
+                             (half,), jnp.float32)
         if self.is_random:
-            weights = self.variable(
-                "constants", "weights",
-                lambda: jax.random.normal(self.make_rng("params"), (half,))
-            ).value
-        else:
-            weights = self.param("weights", nn.initializers.normal(1.0),
-                                 (half,), jnp.float32)
+            weights = jax.lax.stop_gradient(weights)
         t = t.astype(jnp.float32)[:, None]
         freqs = t * weights[None, :] * 2 * math.pi
         return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)

@@ -29,6 +29,7 @@ from pointreggpt_tpu.models.blocks import (
     Downsample,
     LinearAttention,
     PreNormResidual,
+    RandomOrLearnedSinusoidalPosEmb,
     ResnetBlock,
     SinusoidalPosEmb,
     Upsample,
@@ -58,6 +59,14 @@ class DiffusionUNet(nn.Module):
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     channels: int = 1
     resnet_block_groups: int = 8
+    # optional conditioning surface (sdd:811-815, dead in every entry
+    # script but part of the reference component): 2x-channel out head for
+    # a learned variance, and Fourier-feature time embeddings (learned or
+    # frozen-random, sdd:836-843)
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
     dtype: Dtype = jnp.float32
     norm_dtype: Dtype = jnp.float32  # bf16 halves norm-chain HBM traffic
     remat: bool = False  # rematerialize ResnetBlocks (training memory)
@@ -75,7 +84,9 @@ class DiffusionUNet(nn.Module):
             (b, h, w, out_dim) prediction (x0 for the entry configs).
         """
         init_dim = self.init_dim or self.dim
-        out_dim = self.out_dim or self.channels
+        # learned_variance doubles the out head (sdd:911-912)
+        out_dim = self.out_dim or self.channels * (
+            2 if self.learned_variance else 1)
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         groups = self.resnet_block_groups
@@ -86,8 +97,15 @@ class DiffusionUNet(nn.Module):
         time_dim = self.dim * 4
         param_dim = self.dim * 4
 
-        # time embedding: sinusoidal -> Dense -> GELU(exact) -> Dense
-        t = SinusoidalPosEmb(self.dim, name="time_pos_emb")(time)
+        # time embedding: sinusoidal -> Dense -> GELU(exact) -> Dense;
+        # Fourier-feature variant behind the two flags (sdd:836-843)
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            t = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim,
+                is_random=self.random_fourier_features,
+                name="time_pos_emb")(time)
+        else:
+            t = SinusoidalPosEmb(self.dim, name="time_pos_emb")(time)
         t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_1")(t)
         t = nn.gelu(t, approximate=False)
         t = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp_2")(t)

@@ -36,7 +36,7 @@ def _build() -> bool:
     if not cpp.exists():
         return False
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_LIB_PATH), str(cpp)]
+           "-o", str(_LIB_PATH), str(cpp), "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
@@ -79,6 +79,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ply_pack.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64]
+        lib.png16_dims.restype = ctypes.c_int
+        lib.png16_dims.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.png16_decode.restype = ctypes.c_int
+        lib.png16_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64]
+        lib.png16_depth_preprocess.restype = ctypes.c_int
+        lib.png16_depth_preprocess.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
@@ -103,6 +115,52 @@ def depth_preprocess(raw: np.ndarray, out_size: int,
     if rc != 0:
         raise ValueError(f"depth_preprocess failed (rc={rc}, "
                          f"shape={raw.shape}, out_size={out_size})")
+    return out
+
+
+def png16_decode(png_bytes: bytes) -> Optional[np.ndarray]:
+    """Decode a 16-bit grayscale PNG to (h, w) uint16, or None when the
+    image is not the supported production format (caller falls back to
+    PIL). Raises on corrupt data of the right format."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.frombuffer(png_bytes, np.uint8)
+    ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.png16_dims(ptr, buf.size, ctypes.byref(h), ctypes.byref(w))
+    if rc in (4, 5):  # unsupported bit depth/color/interlace
+        return None
+    if rc != 0:
+        raise ValueError(f"png16_dims failed (rc={rc})")
+    out = np.empty((h.value, w.value), np.uint16)
+    rc = lib.png16_decode(
+        ptr, buf.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size)
+    if rc != 0:
+        raise ValueError(f"png16_decode failed (rc={rc})")
+    return out
+
+
+def png16_depth_preprocess(png_bytes: bytes, out_size: int,
+                           flip: bool = False) -> Optional[np.ndarray]:
+    """Fused PNG decode + model-space preprocessing (the dataloader hot
+    path): bytes -> (out_size, out_size) float32 [0,1]. Returns None when
+    the PNG is not 16-bit grayscale non-interlaced (PIL fallback)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.frombuffer(png_bytes, np.uint8)
+    out = np.empty((out_size, out_size), np.float32)
+    rc = lib.png16_depth_preprocess(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        out_size, int(flip),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc in (4, 5):
+        return None
+    if rc != 0:
+        raise ValueError(f"png16_depth_preprocess failed (rc={rc})")
     return out
 
 

@@ -88,6 +88,13 @@ def multihead_attention(q: Array, k: Array, v: Array, *,
     use_pallas = (
         jax.default_backend() == "tpu"
         and n % 8 == 0
+        # the single-block kernel materializes the (n, n) fp32 score matrix
+        # in VMEM: 4 MB at n=1024 (the production 32x32 bottleneck), 16 MB+
+        # at n >= 2048 — past the scoped-VMEM budget, which only surfaces
+        # at COMPILE time (register-spill OOM), outside the try below.
+        # Larger grids (e.g. a 2-stage U-Net at 256^2 -> n=16384) take the
+        # XLA path, which tiles fine.
+        and n <= 1024
         and d in (32, 64, 128)
     )
     if use_pallas:

@@ -33,12 +33,33 @@ gradients are identical on all backends.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+
+_warned_fallbacks: set = set()
+
+
+def _warn_fallback(site: str, exc: Exception) -> None:
+    """Log a swallowed Pallas trace-time failure once per site.
+
+    The try/except around the Pallas paths only covers *trace-time* errors
+    (bad shapes, unsupported ops); compile-time failures (e.g. scoped-VMEM
+    overflow) surface later, outside the try — those are prevented by the
+    explicit chunk/channel guards in the dispatch conditions instead. A
+    silent ``pass`` here would also mask genuine kernel bugs, so report the
+    first occurrence per call site."""
+    if site not in _warned_fallbacks:
+        _warned_fallbacks.add(site)
+        warnings.warn(
+            f"pointreggpt_tpu.ops.linear_attention: Pallas {site} failed at "
+            f"trace time ({type(exc).__name__}: {exc}); using the XLA "
+            "fallback. This costs performance and may indicate a kernel "
+            "bug — please report.", RuntimeWarning)
 
 
 def _xla_core(qkv: Array, heads: int, dim_head: int) -> Array:
@@ -330,6 +351,11 @@ def _pallas_fused_bwd(x: Array, dy: Array, w_qkv: Array, w_out: Array,
     chunk = min(2048, n)
     while chunk > 128 and chunk * c > 2048 * 128:
         chunk //= 2
+    # unreachable with current widths (c <= 512); the c <= 2048 dispatch
+    # guard in _fused_bwd keeps such shapes on the XLA vjp
+    assert chunk * c <= 2048 * 128, (
+        f"backward chunk {chunk} x c {c} exceeds the measured-safe "
+        "scoped-VMEM bound 2048*128")
     assert n % chunk == 0
     nchunks = n // chunk
     scale = dim_head**-0.5 / n
@@ -598,8 +624,8 @@ def _dispatch_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps):
         try:
             return _pallas_fused(x, w_qkv, w_out, b_out, g_out, heads,
                                  dim_head, eps)
-        except Exception:  # pragma: no cover - fallback safety net
-            pass
+        except Exception as e:  # pragma: no cover - fallback safety net
+            _warn_fallback("fused forward", e)
     return _xla_fused(x, w_qkv, w_out, b_out, g_out, heads, dim_head, eps)
 
 
@@ -637,6 +663,11 @@ def _fused_bwd(heads, dim_head, eps, residuals, g):
         jax.default_backend() == "tpu"
         and hidden % 128 == 0
         and c % 8 == 0
+        # chunk floor is 128, so past c=2048 no chunk keeps the q-path
+        # temporaries inside the measured-safe chunk*c <= 2048*128 scoped-
+        # VMEM bound — route to the XLA vjp (the overflow would only
+        # surface at compile time, outside the try below)
+        and c <= 2048
         and n % min(2048, n) == 0
         and n % 8 == 0
     )
@@ -646,8 +677,8 @@ def _fused_bwd(heads, dim_head, eps, residuals, g):
                 x, g.astype(x.dtype), w_qkv, w_out, b_out, g_out, heads,
                 dim_head, eps)
             return dxq + dxkv, dwqkv, dwout, dbout, dg
-        except Exception:  # pragma: no cover - fallback safety net
-            pass
+        except Exception as e:  # pragma: no cover - fallback safety net
+            _warn_fallback("fused backward", e)
     _, vjp = jax.vjp(
         lambda *a: _xla_fused(*a, heads, dim_head, eps),
         x, w_qkv, w_out, b_out, g_out)
@@ -669,8 +700,8 @@ def _dispatch(qkv: Array, heads: int, dim_head: int) -> Array:
     if use_pallas:
         try:
             return _pallas_core(qkv, heads, dim_head)
-        except Exception:  # pragma: no cover - fallback safety net
-            pass
+        except Exception as e:  # pragma: no cover - fallback safety net
+            _warn_fallback("core forward", e)
     return _xla_core(qkv, heads, dim_head)
 
 

@@ -64,6 +64,7 @@ class MaskTrainer:
                  samples_folder: str = "./samples",
                  grad_clip: float = 1.0,
                  num_workers: int = 2,
+                 val_batch_size: int = 8,
                  seed: int = 0,
                  mesh=None):
         self.model = model
@@ -79,6 +80,7 @@ class MaskTrainer:
         # dc:1113)
         n_dev = int(self.mesh.devices.size)
         self.batch_size = train_batch_size * n_dev
+        self.val_batch_size = val_batch_size
 
         self.train_ds = PairedDepthDataset(folder, "train", image_size)
         self.val_ds = PairedDepthDataset(folder, "val", image_size)
@@ -136,9 +138,19 @@ class MaskTrainer:
         return jax.jit(step)
 
     def _eval_step_impl(self, params, batch):
+        """Per-item metric vectors for one (padded) validation batch.
+
+        One model forward for the whole batch, then metrics vmapped per
+        item so host-side meter updates can drop the padding while keeping
+        batch-1 semantics exactly (the reference evaluates item-by-item,
+        dc:1347-1378; a per-item ~28 ms tunnel round trip made that
+        needlessly serial on TPU)."""
         prob = self.model.apply(params, batch["input_img"])
-        return mask_metrics(batch["input_img"], batch["label_img"],
-                            batch["mask"], prob, mask_threshold=0.99)
+        return jax.vmap(
+            lambda i, l, m, p: mask_metrics(
+                i[None], l[None], m[None], p[None], mask_threshold=0.99))(
+                    batch["input_img"], batch["label_img"], batch["mask"],
+                    prob)
 
     # ------------------------------------------------------------------
     def train_one_epoch(self) -> float:
@@ -159,13 +171,25 @@ class MaskTrainer:
         if not M.is_main_process():
             return
         meters = {}
-        val_loader = PrefetchLoader(self.val_ds, 1, shuffle=False,
+        vb = self.val_batch_size
+        val_loader = PrefetchLoader(self.val_ds, vb, shuffle=False,
                                     drop_last=False, num_workers=1)
         for batch in val_loader:
+            n_real = next(iter(batch.values())).shape[0]
+            if n_real < vb:
+                # pad the ragged last batch to the jitted shape; padding
+                # items are dropped below before the meters see them
+                batch = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], vb - n_real, axis=0)], axis=0)
+                    for k, v in batch.items()
+                }
             out = self._eval_step(self.state.params,
                                   M.shard_batch(self.mesh, batch))
             for k, v in out.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
+                vals = np.asarray(v)[:n_real]
+                meters.setdefault(k, AverageMeter()).update(
+                    float(vals.mean()), num=n_real)
         self.metrics["current"] = meters
         if meters:
             self.logger.info(

@@ -110,6 +110,13 @@ def port_diffusion_unet(state_dict: Mapping,
     out: Dict[str, Any] = {}
 
     out["init_conv"] = _conv(sd, "init_conv")
+    # Fourier-feature time embedding (learned_sinusoidal_cond /
+    # random_fourier_features, sdd:836-843): the RandomOrLearnedSinusoidal
+    # PosEmb frequencies live at time_mlp.0.weights (in the state dict even
+    # when frozen-random); the plain SinusoidalPosEmb has no params and the
+    # template tree then lacks the module.
+    if "time_pos_emb" in p:
+        out["time_pos_emb"] = {"weights": _np(sd["time_mlp.0.weights"])}
     out["time_mlp_1"] = _dense_from_linear(sd, "time_mlp.1")
     out["time_mlp_2"] = _dense_from_linear(sd, "time_mlp.3")
     out["param_mlp_1"] = _dense_from_linear(sd, "param_mlp.0")

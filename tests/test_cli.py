@@ -66,7 +66,7 @@ class TestRoundTrip:
         t = C.from_args(args, C.TrainConfig)
         assert m.dim == 8 and m.dim_mults == (1, 2) and not m.bf16
         # train entry default: no remat (16/chip fits v5e HBM and the
-        # backward skips the recompute pass — 79.1 vs 69.3 img/s measured)
+        # backward skips the recompute pass — 81.1 vs 69.3 img/s measured)
         assert not m.remat
         assert d.timesteps == 64 and d.sampling_timesteps == 8
         assert d.ddim_sampling_eta == 0.0  # reference train default

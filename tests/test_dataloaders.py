@@ -105,3 +105,28 @@ class TestMixturePairDataset:
         assert len(ds) == 2
         names = {m["scene_name"] for m in ds.metadata_list}
         assert names == {"r0", "scene-000000"}
+
+    def test_cube_crop(self, generated_root):
+        # two overlapping planes: crop keeps points near a shared center
+        ds = MixturePairDataset(generated_root, seed=3)
+        rng = np.random.default_rng(0)
+        ref = rng.uniform(-4, 4, (600, 3))
+        # src = ref plus jitter < 5 cm (guaranteed overlap points), shifted
+        # tail far away (never overlap)
+        src = np.concatenate(
+            [ref[:300] + rng.uniform(-0.02, 0.02, (300, 3)),
+             ref[300:] + 100.0], axis=0)
+        ref_c, src_c = ds.cube_crop(ref, src, size=3.0)
+        # crops are non-empty strict subsets inside a 3m cube diameter
+        assert 0 < ref_c.shape[0] < ref.shape[0]
+        assert 0 < src_c.shape[0] < src.shape[0]
+        assert np.all(ref_c.max(0) - ref_c.min(0) <= 3.0 * np.sqrt(3) + 1e-6)
+        # every kept point came from the original cloud
+        assert all(np.any(np.all(np.isclose(ref, p), axis=1)) for p in ref_c[:5])
+
+    def test_cube_crop_no_overlap_returns_inputs(self, generated_root):
+        ds = MixturePairDataset(generated_root, seed=3)
+        ref = np.zeros((10, 3))
+        src = np.full((10, 3), 50.0)
+        ref_c, src_c = ds.cube_crop(ref, src)
+        assert ref_c is ref and src_c is src

@@ -192,10 +192,13 @@ class TestGenerator:
             samples_folder=str(tmp_path / "gen/data"),
             data_root=str(tmp_path / "dataset/indoor/data"),
             memory_capacity=4096)
-        # pre-place the probe file the resume check looks for
-        probe = tmp_path / "gen/data/scene-000000/sample-000000.cloud.ply"
-        probe.parent.mkdir(parents=True)
-        plyio.write_ply(probe, np.zeros((1, 3)))
+        # pre-place only the SEED cloud (index 0, written before generation
+        # starts): a crashed mid-chain scene leaves exactly this state and
+        # must NOT be skipped (the probe is cloud index 1, the completion
+        # marker written at sample_idx == num_samples - 1)
+        seed_ply = tmp_path / "gen/data/scene-000000/sample-000000.cloud.ply"
+        seed_ply.parent.mkdir(parents=True)
+        plyio.write_ply(seed_ply, np.zeros((1, 3)))
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, image_size, image_size, 1)),
                             jnp.zeros((1,)), jnp.zeros((1, 4)))
@@ -207,13 +210,18 @@ class TestGenerator:
         gen.load(1)
         gen.generate(0, 1, num_samples=1, has_refine_step=False,
                      info_train=info)
-        assert "Skip" in capsys.readouterr().out
-
-        # num_samples >= 4: the probe must clamp to cloud index 1 (the
-        # reference probes index num_samples//2, which it never writes —
-        # sdd:2372 vs 2654-2657 — and so never resumes)
+        out = capsys.readouterr().out
+        assert "Skip" not in out  # seed-only scene regenerates
+        # the completed run wrote the real completion marker
         probe1 = tmp_path / "gen/data/scene-000000/sample-000001.cloud.ply"
-        plyio.write_ply(probe1, np.zeros((1, 3)))
+        assert probe1.is_file()
+
+        # now both num_samples=1 and >= 4 resume off cloud index 1 (the
+        # reference probes index num_samples//2, which it never writes for
+        # num_samples >= 4 — sdd:2372 vs 2654-2657 — and so never resumes)
+        gen.generate(0, 1, num_samples=1, has_refine_step=False,
+                     info_train=info)
+        assert "Skip" in capsys.readouterr().out
         gen.generate(0, 1, num_samples=4, has_refine_step=False,
                      info_train=info)
         assert "Skip" in capsys.readouterr().out

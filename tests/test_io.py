@@ -95,3 +95,41 @@ class TestDepthPng:
         assert r.shape == (256, 341)
         c = imageio16.center_crop(r, 256)
         assert c.shape == (256, 256)
+
+    def test_resize_rounding_truncates_long_side(self):
+        """torchvision T.Resize computes the long side as
+        int(size * long / short) — truncation. 300x500 is rounding-
+        sensitive (426.67: trunc 426 vs round 427); 640x480 is not
+        (341.33 floors and rounds alike). The truncation must also agree
+        with geometry.intrinsic_transform's floor so the pixel grid and
+        the adjusted intrinsics stay aligned."""
+        from pointreggpt_tpu.core import geometry as G
+
+        img = np.zeros((300, 500), np.uint16)
+        r = imageio16.resize_nearest_short_side(img, 256)
+        assert r.shape == (256, 426)
+        # portrait orientation too
+        r2 = imageio16.resize_nearest_short_side(img.T.copy(), 256)
+        assert r2.shape == (426, 256)
+
+        # intrinsic_transform infers (w, h) = (2*cx, 2*cy); it must derive
+        # the same resized long side (426) -> cx = 426/2 - crop_left
+        intr = np.array([[400.0, 0, 250.0], [0, 400.0, 150.0], [0, 0, 1]])
+        out = G.intrinsic_transform(intr, resize=256, centercrop=256)
+        crop_left = round((426 - 256) / 2.0)
+        assert out[0, 2] == 426 / 2 - crop_left
+
+    def test_native_matches_python_at_rounding_sensitive_size(self, tmp_path):
+        from pointreggpt_tpu import native
+
+        if not native.is_available():
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 12000, size=(300, 500)).astype(np.uint16)
+        import cv2
+        path = tmp_path / "odd.png"
+        cv2.imwrite(str(path), raw)
+        ref = imageio16.load_depth_model_space(path, 64, use_native=False)
+        got = native.depth_preprocess(raw, 64)
+        np.testing.assert_array_equal(ref, got)

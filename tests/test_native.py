@@ -84,3 +84,83 @@ class TestPlyPack:
         p.write_bytes(blob)
         back = plyio.read_ply(p)
         np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+class TestPng16Decode:
+    """Native zlib PNG decoder vs PIL on the production 16-bit grayscale
+    format (every writer in the pipeline: cv2, PIL)."""
+
+    def _skip_if_unavailable(self):
+        import pytest
+
+        if not native.is_available():
+            pytest.skip("native library unavailable")
+
+    def test_matches_pil_cv2_written(self, tmp_path):
+        self._skip_if_unavailable()
+        import cv2
+        from PIL import Image
+
+        rng = np.random.default_rng(5)
+        for shape in [(480, 640), (37, 61), (1, 1), (300, 500)]:
+            raw = rng.integers(0, 65536, shape).astype(np.uint16)
+            p = tmp_path / f"{shape[0]}x{shape[1]}.png"
+            cv2.imwrite(str(p), raw)
+            data = p.read_bytes()
+            got = native.png16_decode(data)
+            ref = np.asarray(Image.open(p))
+            np.testing.assert_array_equal(got, ref)
+            np.testing.assert_array_equal(got, raw)
+
+    def test_matches_pil_pil_written(self, tmp_path):
+        self._skip_if_unavailable()
+        from PIL import Image
+
+        rng = np.random.default_rng(6)
+        raw = rng.integers(0, 65536, (128, 96)).astype(np.uint16)
+        p = tmp_path / "pil.png"
+        Image.fromarray(raw).save(p)
+        got = native.png16_decode(p.read_bytes())
+        np.testing.assert_array_equal(got, raw)
+
+    def test_smooth_image_exercises_filters(self, tmp_path):
+        # gradients make PNG encoders pick sub/up/avg/paeth filters
+        self._skip_if_unavailable()
+        import cv2
+
+        yy, xx = np.meshgrid(np.arange(240), np.arange(320), indexing="ij")
+        raw = (yy * 37 + xx * 13 + (yy * xx) % 251).astype(np.uint16)
+        p = tmp_path / "smooth.png"
+        cv2.imwrite(str(p), raw)
+        got = native.png16_decode(p.read_bytes())
+        np.testing.assert_array_equal(got, raw)
+
+    def test_unsupported_format_returns_none(self, tmp_path):
+        self._skip_if_unavailable()
+        from PIL import Image
+
+        rgb = Image.new("RGB", (8, 8), (255, 0, 0))
+        p = tmp_path / "rgb.png"
+        rgb.save(p)
+        assert native.png16_decode(p.read_bytes()) is None
+        assert native.png16_depth_preprocess(p.read_bytes(), 8) is None
+        # the imageio16 wrapper falls back to PIL transparently
+        out = imageio16.read_depth_png(p)
+        assert out.shape == (8, 8, 3)
+
+    def test_fused_preprocess_matches_python(self, tmp_path):
+        self._skip_if_unavailable()
+        import cv2
+
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 12000, (480, 640)).astype(np.uint16)
+        p = tmp_path / "f.png"
+        cv2.imwrite(str(p), raw)
+        for flip in (False, True):
+            ref = imageio16.load_depth_model_space(p, 256, flip=flip,
+                                                   use_native=False)
+            got = native.png16_depth_preprocess(p.read_bytes(), 256,
+                                                flip=flip)
+            np.testing.assert_array_equal(ref, got)
+            via_loader = imageio16.load_depth_model_space(p, 256, flip=flip)
+            np.testing.assert_array_equal(ref, via_loader)

@@ -72,3 +72,93 @@ class TestMultiHostSceneSharding:
         assert seen[0] == [5, 8, 11, 14, 17]
         assert seen[1] == [6, 9, 12, 15, 18]
         assert seen[2] == [7, 10, 13, 16]
+
+
+class TestMeshDPGeneration:
+    """Mesh-DP generation (one process, all chips): the Generator/Tester
+    device programs must carry data-axis shardings — per-device shard
+    batch == batch / n_devices — instead of running everything on chip 0
+    (the reference's one-Accelerate-process-per-GPU pattern redesigned)."""
+
+    def test_generator_step_shards_scene_batch(self, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pointreggpt_tpu.core import geometry as G
+        from pointreggpt_tpu.diffusion import GaussianDiffusion
+        from pointreggpt_tpu.generate.generator import Generator
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        n = jax.device_count()
+        assert n == 8
+        msh = M.create_mesh()
+        image_size = 16
+        cap = 512
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=8, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        gen = Generator(model, diffusion, str(tmp_path), batch_size=n,
+                        samples_folder=str(tmp_path / "samples"),
+                        memory_capacity=cap, mesh=msh)
+        step_fn = gen._build_step_fn(has_refine_step=False,
+                                     memory_voxel=0.05)
+
+        rng_ = np.random.default_rng(0)
+        mem_pts = rng_.uniform(-1, 1, (n, cap, 3)).astype(np.float32)
+        mem_pts[..., 2] += 2.0
+        mem_valid = np.tile(np.arange(cap)[None] < cap // 2, (n, 1))
+        intr = np.tile(np.array(
+            [[[40.0, 0, 8.0], [0, 40.0, 8.0], [0, 0, 1]]], np.float32),
+            (n, 1, 1))
+        mem_sh, memv_sh, intr_sh = M.shard_batch(
+            msh, (mem_pts, mem_valid, intr))
+        # inputs actually sharded: 1 scene per device
+        assert mem_sh.addressable_shards[0].data.shape[0] == 1
+        outs = step_fn(M.replicate(msh, params), None, mem_sh, memv_sh,
+                       intr_sh, G.param_vector(intr_sh),
+                       jax.random.PRNGKey(1))
+        images = outs[3]
+        mem_new = outs[6]
+        data_sharding = NamedSharding(msh, P("data"))
+        for name, arr in [("images", images), ("memory", mem_new)]:
+            assert arr.sharding.is_equivalent_to(data_sharding, arr.ndim), (
+                f"{name} not data-sharded: {arr.sharding}")
+            assert arr.addressable_shards[0].data.shape[0] == 1, name
+        assert np.isfinite(np.asarray(images)).all()
+
+    def test_tester_sample_fn_shards_batch(self, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pointreggpt_tpu.core import geometry as G
+        from pointreggpt_tpu.diffusion import GaussianDiffusion
+        from pointreggpt_tpu.generate import Tester
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        n = jax.device_count()
+        msh = M.create_mesh()
+        image_size = 16
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=8, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        tester = Tester(model, diffusion, batch_size=n,
+                        results_folder=str(tmp_path / "results"),
+                        samples_folder=str(tmp_path / "samples"), mesh=msh)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        tester.ema_params = M.replicate(msh, params)
+        intr = np.tile(np.array(
+            [[[40.0, 0, 8.0], [0, 40.0, 8.0], [0, 0, 1]]], np.float32),
+            (n, 1, 1))
+        param_cond = G.param_vector(M.shard_batch(msh, intr))
+        images = tester._sample_uncond_fn(tester.ema_params,
+                                          jax.random.PRNGKey(2), param_cond)
+        data_sharding = NamedSharding(msh, P("data"))
+        assert images.sharding.is_equivalent_to(data_sharding, images.ndim)
+        assert images.addressable_shards[0].data.shape[0] == 1

@@ -233,6 +233,80 @@ class TestRealUnetParity:
                 atol=2e-4, rtol=1e-3)
 
 
+class TestRealUnetOptionalFlagsParity:
+    """The dormant constructor surface (sdd:811-815, 836-843): Fourier-
+    feature time embeddings and the 2x-channel learned-variance head, wired
+    and checked against the real reference code with ported weights."""
+
+    def _compare(self, ref, rng, **flags):
+        sdd = ref["sdd"]
+        torch.manual_seed(17)
+        tmodel = sdd.Unet(dim=8, param_cond_dim=4, dim_mults=(1, 2),
+                          channels=1, **flags).eval()
+        jmodel = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1, **flags)
+        params = jmodel.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,)),
+                             jnp.zeros((1, 4)))
+        ported = torch_port.port_diffusion_unet(tmodel.state_dict(), params,
+                                                num_stages=2)
+        x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+        pc = np.array([[585.0, 585.0, 128.0, 128.0],
+                       [300.0, 310.0, 120.0, 130.0]], np.float32)
+        tt = np.full((2,), 37.0, np.float32)
+        with torch.no_grad():
+            ref_out = tmodel(torch.tensor(x).permute(0, 3, 1, 2),
+                             torch.tensor(tt), torch.tensor(pc))
+        ours = jmodel.apply(ported, jnp.asarray(x), jnp.asarray(tt),
+                            jnp.asarray(pc))
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.permute(0, 2, 3, 1).numpy(),
+            atol=2e-4, rtol=1e-3)
+        return ours
+
+    def test_learned_sinusoidal(self, ref, rng):
+        self._compare(ref, rng, learned_sinusoidal_cond=True)
+
+    def test_random_fourier(self, ref, rng):
+        self._compare(ref, rng, random_fourier_features=True)
+
+    def test_learned_variance_head(self, ref, rng):
+        out = self._compare(ref, rng, learned_variance=True)
+        assert out.shape[-1] == 2
+
+    def test_random_fourier_weights_get_zero_grad(self, ref, rng):
+        """Frozen-random frequencies: torch keeps requires_grad=False; ours
+        stop_gradient -> exactly zero gradient, so any optimizer leaves
+        them untouched."""
+        jmodel = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                               random_fourier_features=True)
+        params = jmodel.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,)),
+                             jnp.zeros((1, 4)))
+
+        def loss(p):
+            out = jmodel.apply(p, jnp.ones((1, 16, 16, 1)),
+                               jnp.full((1,), 3.0), jnp.ones((1, 4)))
+            return jnp.sum(out**2)
+
+        grads = jax.grad(loss)(params)
+        g = grads["params"]["time_pos_emb"]["weights"]
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+        # ... while the learned variant does receive gradient
+        jmodel2 = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                                learned_sinusoidal_cond=True)
+        params2 = jmodel2.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,)),
+                               jnp.zeros((1, 4)))
+
+        def loss2(p):
+            out = jmodel2.apply(p, jnp.ones((1, 16, 16, 1)),
+                                jnp.full((1,), 3.0), jnp.ones((1, 4)))
+            return jnp.sum(out**2)
+
+        g2 = jax.grad(loss2)(params2)["params"]["time_pos_emb"]["weights"]
+        assert np.any(np.asarray(g2) != 0.0)
+
+
 class TestRealMaskUnetParity:
     def test_forward(self, ref, rng):
         dc = ref["dc"]

@@ -91,3 +91,30 @@ class TestDepthImageNp:
         pc = np.array([[0, 0, 3.0], [0, 0, 1.5]])
         depth, mask = G.depth_image_np(pc, k, image_size=(2, 2))
         assert depth[0, 0] == 1.5 and mask[0, 0]
+
+
+class TestTesterFid:
+    def test_fid_score_from_features(self, tmp_path):
+        """Tester-scoped FID passthrough (sdd:1915-1935): identical feature
+        sets give ~0; shifted Gaussians give the analytic ||dmu||^2 term."""
+        from pointreggpt_tpu.diffusion import GaussianDiffusion
+        from pointreggpt_tpu.generate import Tester
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=16, timesteps=8, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        tester = Tester(model, diffusion,
+                        results_folder=str(tmp_path / "results"),
+                        samples_folder=str(tmp_path / "samples"))
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((256, 8))
+        assert abs(tester.fid_score(feats, feats)) < 1e-6
+        shifted = feats + 2.0
+        fid = tester.fid_score(feats, shifted)
+        assert abs(fid - 8 * 4.0) < 1e-6  # ||dmu||^2 = d * 2^2
+
+        mu, sigma = tester.calculate_activation_statistics(feats)
+        assert mu.shape == (8,) and sigma.shape == (8, 8)

@@ -1,0 +1,101 @@
+"""TPU drive: production Tester paths (sample + scene-memory generate).
+
+The last production loop without real-chip evidence (round-2 verdict):
+``Tester.sample`` (fixed forward motion, triptychs + world-frame PLYs,
+sdd:1960-2097) and ``Tester.generate`` (growing voxel scene memory,
+sdd:2099-2247), both at 256^2 with the quick-test 32-step DDIM config
+(test_successive_ddnm_diffusion.py:25-27) on random weights.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/drive_tester_tpu.py
+"""
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/pointreggpt_xla")
+
+import jax.numpy as jnp
+import numpy as np
+
+from pointreggpt_tpu.core import plyio
+from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.generate import Tester
+from pointreggpt_tpu.models import DiffusionUNet
+from pointreggpt_tpu.train import checkpoint as ckpt
+from pointreggpt_tpu.train import ema as ema_lib
+
+print(f"backend={jax.default_backend()}")
+tmp = Path(tempfile.mkdtemp(prefix="drive_tester_"))
+os.chdir(tmp)
+
+image_size = 256
+model = DiffusionUNet(dim=64, param_cond_dim=4, dim_mults=(1, 2, 4, 8),
+                      channels=1, dtype=jnp.bfloat16)
+# quick-test CLI config: sampling_timesteps 32, eta 1.0 (test_...py:25-27)
+diffusion = GaussianDiffusion(
+    apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+    image_size=image_size, timesteps=1000, sampling_timesteps=32,
+    loss_type="l1", objective="pred_x0", beta_schedule="sigmoid",
+    ddim_sampling_eta=1.0, is_ddnm_sampling=True)
+
+tester = Tester(model, diffusion, batch_size=4,
+                results_folder=str(tmp / "results"),
+                samples_folder=str(tmp / "samples"))
+params = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, image_size, image_size, 1)),
+                    jnp.zeros((1,)), jnp.zeros((1, 4)))
+ckpt.save_checkpoint(tmp / "results/model-3.ckpt",
+                     {"params": params,
+                      "ema": ema_lib.init(params)._asdict()})
+tester.load(3)
+
+# --- sample: 4 scenes x 4 samples (the test CLI's defaults) --------------
+t0 = time.time()
+tester.sample(num_scenes=4, num_samples=4)
+dt = time.time() - t0
+print(f"Tester.sample(4 scenes x 4 samples @256^2, 32 steps): {dt:.1f}s "
+      f"(incl. compile)")
+from PIL import Image
+
+for sid in range(4):
+    assert (tmp / f"samples/scene-{sid}-camera-intrinsics.txt").exists()
+    for s in range(4):
+        png = tmp / f"samples/scene-{sid}-sample-{s}.png"
+        assert png.exists(), png
+        assert Image.open(png).size == (image_size * 3, image_size)
+        pc = plyio.read_ply(tmp / f"samples/scene-{sid}-sample-{s}.ply")
+        assert pc.shape[1] == 3
+
+# --- generate: scene-memory successive path ------------------------------
+gen_dir = tmp / "samples_gen"
+tester.samples_folder = gen_dir
+gen_dir.mkdir()
+t0 = time.time()
+tester.generate(num_scenes=4, num_samples=3, voxel_size=0.005,
+                memory_capacity=1 << 18)
+dt = time.time() - t0
+print(f"Tester.generate(4 scenes x 3 samples, memory 256k @ voxel 0.005): "
+      f"{dt:.1f}s (incl. compile)")
+for sid in range(4):
+    for s in range(3):
+        assert (gen_dir / f"scene-{sid}-sample-{s}.png").exists()
+    mem = plyio.read_ply(gen_dir / f"scene-{sid}-memory.ply")
+    assert mem.shape[0] > 1000 and mem.shape[1] == 3
+
+# --- unconditional grid --------------------------------------------------
+tester.samples_folder = tmp / "samples"
+t0 = time.time()
+images = tester.sample_uncondition(num_samples=4)
+print(f"sample_uncondition(4): {time.time()-t0:.1f}s, "
+      f"grid {'OK' if (tmp / 'samples/unconditional.png').exists() else 'MISSING'}")
+assert images.shape == (4, image_size, image_size, 1)
+
+print("TESTER TPU DRIVE OK")
