@@ -46,6 +46,7 @@ def conv3_igemm(x, w, rows=ROWS, interpret=False):
     x: (b, h, wd, c) bf16; w: (3, 3, c, cout) fp32.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     b, h, wd, c = x.shape
     cout = w.shape[-1]
@@ -79,6 +80,11 @@ def conv3_igemm(x, w, rows=ROWS, interpret=False):
         out_specs=pl.BlockSpec((1, rows, wd, cout),
                                lambda i, r: (i, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        # the resident full-image block (8.5 MB bf16) double-buffered plus
+        # the im2col tile exceed the default 16 MB scoped-VMEM budget;
+        # v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, wmat)
     return out
