@@ -266,10 +266,19 @@ class Generator:
 
         step_fn = self._build_step_fn(has_refine_step, memory_voxel_size)
         # params replicated on every local chip; the scene batch is sharded
-        # on the data axis below (mesh-DP generation)
-        ema_params = M.replicate(self.mesh, self.ema_params)
-        dc_params = (M.replicate(self.mesh, self.dc_params)
-                     if self.dc_params is not None else None)
+        # on the data axis below (mesh-DP generation). Replication is lazy:
+        # a fully-resumed run (every chunk skipped) never pays the ~150 MB
+        # param transfer.
+        ema_params = dc_params = None
+
+        def device_params():
+            nonlocal ema_params, dc_params
+            if ema_params is None:
+                ema_params = M.replicate(self.mesh, self.ema_params)
+                if self.dc_params is not None:
+                    dc_params = M.replicate(self.mesh, self.dc_params)
+            return ema_params, dc_params
+
         # fold the process index so multi-host shards draw distinct poses
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + start_scene_index),
@@ -352,9 +361,10 @@ class Generator:
             pending = None  # (sample_idx, device outputs of the prior step)
             for sample_idx in range(num_samples):
                 key, sub = jax.random.split(key)
+                ema_p, dc_p = device_params()
                 (pose, images_raw, images_rpj, images, world, world_valid,
                  mem_pts_j, mem_valid_j, overflow) = step_fn(
-                     ema_params, dc_params, mem_pts_j, mem_valid_j,
+                     ema_p, dc_p, mem_pts_j, mem_valid_j,
                      intr_j, param_cond, sub)
                 if pending is not None:
                     self._write_sample_outputs(

@@ -162,3 +162,55 @@ class TestMeshDPGeneration:
         data_sharding = NamedSharding(msh, P("data"))
         assert images.sharding.is_equivalent_to(data_sharding, images.ndim)
         assert images.addressable_shards[0].data.shape[0] == 1
+
+    def test_sharded_step_matches_single_device(self, tmp_path):
+        """Mesh-DP generation is a pure layout change: the same inputs
+        through the 8-way-sharded step and a 1-device mesh produce the
+        same frames/memory (scenes are independent — no cross-scene
+        collectives in the generation program)."""
+        from jax.sharding import Mesh
+
+        from pointreggpt_tpu.core import geometry as G
+        from pointreggpt_tpu.diffusion import GaussianDiffusion
+        from pointreggpt_tpu.generate.generator import Generator
+        from pointreggpt_tpu.models import DiffusionUNet
+
+        n = jax.device_count()
+        image_size = 16
+        cap = 512
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=8, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+
+        rng_ = np.random.default_rng(1)
+        mem_pts = rng_.uniform(-1, 1, (n, cap, 3)).astype(np.float32)
+        mem_pts[..., 2] += 2.0
+        mem_valid = np.tile(np.arange(cap)[None] < cap // 2, (n, 1))
+        intr = np.tile(np.array(
+            [[[40.0, 0, 8.0], [0, 40.0, 8.0], [0, 0, 1]]], np.float32),
+            (n, 1, 1))
+        key = jax.random.PRNGKey(5)
+
+        results = []
+        for msh in (M.create_mesh(),
+                    Mesh(np.asarray(jax.devices()[:1]), ("data",))):
+            gen = Generator(model, diffusion, str(tmp_path),
+                            batch_size=n,
+                            samples_folder=str(tmp_path / f"s{len(results)}"),
+                            memory_capacity=cap, mesh=msh)
+            step_fn = gen._build_step_fn(has_refine_step=False,
+                                         memory_voxel=0.05)
+            mem_sh, memv_sh, intr_sh = M.shard_batch(
+                msh, (mem_pts, mem_valid, intr))
+            outs = step_fn(M.replicate(msh, params), None, mem_sh, memv_sh,
+                           intr_sh, G.param_vector(intr_sh), key)
+            results.append(jax.tree_util.tree_map(np.asarray, outs))
+
+        sharded, single = results
+        for a, b in zip(sharded, single):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

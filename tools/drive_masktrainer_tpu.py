@@ -42,3 +42,27 @@ print(f"2 epochs (12 train / 4 val @256^2, incl. compile): {time.time()-t0:.1f}s
 assert (tmp / "results/model-best.ckpt").exists()
 assert (tmp / "results/model-latest.ckpt").exists()
 print("MASKTRAINER TPU DRIVE OK")
+
+# --- MaskTester qualitative path (dc:1398-1522) on the same checkpoint ---
+sys.path.insert(0, "/root/repo/tests")
+from test_generate import make_3dmatch_tree
+
+from pointreggpt_tpu.train import MaskTester
+import pointreggpt_tpu.train.mask_trainer as mt
+
+folder, info = make_3dmatch_tree(tmp, n_scenes=2)
+orig_ds = mt.TestDataset
+mt.TestDataset = lambda info_, folder_, image_size, **kw: orig_ds(
+    info_, folder_, image_size,
+    data_root=str(tmp / "dataset/indoor/data"))
+tester = MaskTester(model, folder, info=info, image_size=256,
+                    results_folder=str(tmp / "results"),
+                    samples_folder=str(tmp / "mask_samples"))
+tester.load("best")
+t0 = time.time()
+tester.test(limit=2)
+print(f"MaskTester 2 items @256^2 (GIFs): {time.time()-t0:.1f}s")
+for idx in range(2):
+    assert (tmp / f"mask_samples/{idx:06d}-input.gif").exists()
+    assert (tmp / f"mask_samples/{idx:06d}-output.gif").exists()
+print("MASKTESTER TPU DRIVE OK")
