@@ -73,6 +73,33 @@ class TestRoundTrip:
         assert t.train_batch_size == 2 and t.data == "/tmp/x"
         assert t.train_lr == pytest.approx(1e-4)
 
+    def test_dormant_unet_flags_reach_the_model(self, cli):
+        """sdd:811-815 surface: the optional conditioning flags round-trip
+        from CLI to a built DiffusionUNet."""
+        mod = cli("train_successive_ddnm_diffusion")
+        args = mod.build_parser().parse_args([
+            "--learned_sinusoidal_cond", "true",
+            "--learned_sinusoidal_dim", "8",
+            "--learned_variance", "true",
+        ])
+        m = C.from_args(args, C.ModelConfig)
+        assert m.learned_sinusoidal_cond and m.learned_variance
+        model = C.build_diffusion_unet(
+            C.ModelConfig(dim=8, dim_mults=(1, 2), bf16=False,
+                          learned_sinusoidal_cond=m.learned_sinusoidal_cond,
+                          learned_sinusoidal_dim=m.learned_sinusoidal_dim,
+                          learned_variance=m.learned_variance))
+        import jax
+        import jax.numpy as jnp
+
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        assert params["params"]["time_pos_emb"]["weights"].shape == (4,)
+        out = model.apply(params, jnp.zeros((2, 16, 16, 1)),
+                          jnp.zeros((2,)), jnp.zeros((2, 4)))
+        assert out.shape == (2, 16, 16, 2)  # learned_variance: 2x channels
+
     def test_test_cli_has_quick_sampling_defaults(self, cli):
         mod = cli("test_successive_ddnm_diffusion")
         args = mod.build_parser().parse_args([])

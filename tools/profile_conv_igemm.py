@@ -97,6 +97,25 @@ def conv3_xla(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@jax.jit
+def conv3_blockdiag(x, w):
+    """Fold batch pairs into channels: (b, h, w, c) -> (b/2, h, w, 2c) with
+    block-diagonal weights. 2x the MACs, but the MXU contraction doubles to
+    128 — testing whether the emitter's measured ~26% MFU at c>=128 beats
+    its ~10-13% at c=64 despite the wasted zero-block FLOPs."""
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    xf = x.reshape(b // 2, 2, h, wd, c).transpose(0, 2, 3, 1, 4)
+    xf = xf.reshape(b // 2, h, wd, 2 * c)
+    wb = jnp.zeros((3, 3, 2 * c, 2 * cout), w.dtype)
+    wb = wb.at[:, :, :c, :cout].set(w).at[:, :, c:, cout:].set(w)
+    out = lax.conv_general_dilated(
+        xf, wb.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out.reshape(b // 2, h, wd, 2, cout).transpose(0, 3, 1, 2, 4)
+    return out.reshape(b, h, wd, cout)
+
+
 def timed_chain(fn, x, w, iters=30):
     """Chained scan timing: out feeds the next input (defeats memoization +
     dispatch overhead)."""
@@ -136,15 +155,32 @@ def main():
     print(f"correctness: max abs err {err:.4f} (rel {rel:.4f})")
     assert rel < 0.05, "implicit-GEMM conv mismatch"
 
-    for batch in (8, 16):
+    batches = tuple(
+        int(s) for s in os.environ.get("IGEMM_BATCHES", "8,16").split(","))
+    rows_list = tuple(
+        int(s) for s in os.environ.get("IGEMM_ROWS", str(ROWS)).split(","))
+    for batch in batches:
         x = jnp.asarray(rng.normal(0, 1, (batch, 256, 256, 64)),
                         jnp.bfloat16)
         t_xla = timed_chain(lambda a, b: conv3_xla(a, b), x, wj)
-        t_ig = timed_chain(lambda a, b: conv3_igemm(a, b), x, wj)
         flops = 2 * batch * 256 * 256 * 9 * 64 * 64
         print(f"b{batch} 256^2 64->64: XLA {t_xla:.2f} ms "
-              f"({flops / t_xla / 1e9 / 197:.1%} MFU) | "
-              f"igemm {t_ig:.2f} ms ({flops / t_ig / 1e9 / 197:.1%} MFU)")
+              f"({flops / t_xla / 1e9 / 197:.1%} MFU)")
+        for rows in rows_list:
+            t_ig = timed_chain(
+                lambda a, b, r=rows: conv3_igemm(a, b, rows=r), x, wj)
+            print(f"  igemm rows={rows}: {t_ig:.2f} ms "
+                  f"({flops / t_ig / 1e9 / 197:.1%} MFU)")
+        if os.environ.get("IGEMM_BLOCKDIAG"):
+            got = conv3_blockdiag(x[:2], wj)
+            want = conv3_xla(x[:2], wj)
+            rel = float(jnp.max(jnp.abs(
+                got.astype(jnp.float32) - want.astype(jnp.float32)))) / \
+                float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+            assert rel < 0.05, f"blockdiag mismatch rel {rel}"
+            t_bd = timed_chain(lambda a, b: conv3_blockdiag(a, b), x, wj)
+            print(f"  blockdiag c128: {t_bd:.2f} ms (useful "
+                  f"{flops / t_bd / 1e9 / 197:.1%} MFU)")
 
 
 if __name__ == "__main__":
