@@ -17,7 +17,14 @@
 #include <unordered_map>
 #include <vector>
 
+// PNG decode needs zlib; everything else does not. The build tries with
+// -lz -DPRGPT_HAVE_ZLIB first and retries without on hosts lacking zlib
+// dev headers (pointreggpt_tpu/native.py::_build), in which case the
+// png16_* entry points become stubs returning "unsupported" so callers
+// fall back to PIL while depth_preprocess/voxel/radius/ply stay native.
+#ifdef PRGPT_HAVE_ZLIB
 #include <zlib.h>
+#endif
 
 extern "C" {
 
@@ -159,6 +166,8 @@ void radius_hits(const float* src, int64_t n_src, const float* tgt,
 // deflate, filters 0-4, non-interlaced (what 3DMatch ships and cv2
 // writes); anything else returns an error and callers fall back to PIL.
 
+#ifdef PRGPT_HAVE_ZLIB
+
 static inline uint32_t be32(const uint8_t* p) {
   return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
          ((uint32_t)p[2] << 8) | (uint32_t)p[3];
@@ -174,8 +183,12 @@ int png16_dims(const uint8_t* data, int64_t n, int* h, int* w) {
   uint32_t width = be32(data + 16), height = be32(data + 20);
   uint8_t bit_depth = data[24], color_type = data[25];
   uint8_t compression = data[26], filter = data[27], interlace = data[28];
-  if (width == 0 || height == 0 || width > (1u << 24) ||
-      height > (1u << 24))
+  // cap total pixels (64 Mpix; production frames are 640x480): a corrupt
+  // IHDR claiming huge dims would otherwise reach the decode buffers and
+  // throw std::bad_alloc, which cannot cross the C ABI — std::terminate
+  // would kill the whole training process instead of one frame.
+  if (width == 0 || height == 0 || width > (1u << 16) ||
+      height > (1u << 16) || (uint64_t)width * height > (1ull << 26))
     return 3;
   if (bit_depth != 16 || color_type != 0) return 4;  // not 16-bit gray
   if (compression != 0 || filter != 0 || interlace != 0) return 5;
@@ -282,6 +295,16 @@ int png16_depth_preprocess(const uint8_t* data, int64_t n, int out_size,
   if (rc != 0) return rc;
   return depth_preprocess(raw.data(), h, w, out_size, flip, out);
 }
+
+#else  // !PRGPT_HAVE_ZLIB — stubs report "unsupported", callers use PIL
+
+int png16_dims(const uint8_t*, int64_t, int*, int*) { return 5; }
+int png16_decode(const uint8_t*, int64_t, uint16_t*, int64_t) { return 5; }
+int png16_depth_preprocess(const uint8_t*, int64_t, int, int, float*) {
+  return 5;
+}
+
+#endif  // PRGPT_HAVE_ZLIB
 
 // ---------------------------------------------------------------------------
 // Binary little-endian PLY vertex packing: writes header + float32 xyz body

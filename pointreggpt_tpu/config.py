@@ -202,9 +202,26 @@ def build_mask_unet(cfg: MaskModelConfig):
 
 
 def build_diffusion(cfg: DiffusionConfig, model):
-    """DiffusionConfig + model -> GaussianDiffusion."""
+    """DiffusionConfig + model -> GaussianDiffusion.
+
+    Mirrors the reference's construction-time guards (sdd:1032-1034):
+    GaussianDiffusion requires model out channels == in channels (a
+    ``learned_variance`` 2x head would silently broadcast against the
+    1-channel target in p_losses) and rejects the Fourier/learned time
+    embeddings (wired on the Unet for parity, unsupported by this wrapper).
+    """
     from pointreggpt_tpu.diffusion import GaussianDiffusion
 
+    if getattr(model, "learned_variance", False):
+        raise ValueError(
+            "GaussianDiffusion requires model.channels == out channels; "
+            "learned_variance=True doubles the output head (reference "
+            "asserts this away at construction, sdd:1032-1033)")
+    if getattr(model, "learned_sinusoidal_cond", False) or \
+            getattr(model, "random_fourier_features", False):
+        raise ValueError(
+            "GaussianDiffusion does not support random/learned sinusoidal "
+            "time embeddings (reference assert, sdd:1034)")
     return GaussianDiffusion(
         apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
         image_size=cfg.image_size,

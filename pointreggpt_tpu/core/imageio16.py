@@ -101,6 +101,7 @@ def load_depth_model_space(
     training input pipeline's bottleneck on few-core hosts (round-2
     measurement: ~45 of 81 device-capable img/s).
     """
+    raw = None
     if use_native:
         from pointreggpt_tpu import native
 
@@ -110,7 +111,13 @@ def load_depth_model_space(
             out = native.png16_depth_preprocess(data, image_size, flip=flip)
             if out is not None:
                 return out
-    raw = read_depth_png(path, use_native=use_native)
+            # not the native-supported format: decode the bytes we already
+            # read with PIL (no second file read / native retry)
+            import io
+
+            raw = np.asarray(Image.open(io.BytesIO(data)))
+    if raw is None:
+        raw = read_depth_png(path, use_native=False)
     raw = resize_nearest_short_side(raw, image_size)
     raw = center_crop(raw, image_size)
     depth = raw.astype(np.float32) * 1e-4

@@ -35,13 +35,26 @@ def _build() -> bool:
     cpp = _SRC / "pointreggpt_native.cpp"
     if not cpp.exists():
         return False
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_LIB_PATH), str(cpp), "-lz"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        return True
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(_LIB_PATH), str(cpp)]
+    # PNG decode needs zlib; on hosts without zlib dev headers retry
+    # without it (png16_* become "unsupported" stubs and callers fall back
+    # to PIL) rather than losing ALL native fast paths.
+    for cmd in (base + ["-DPRGPT_HAVE_ZLIB", "-lz"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=300)
+            if cmd is not base:
+                return True
+            import warnings
+
+            warnings.warn(
+                "pointreggpt_tpu.native: built without zlib — native PNG "
+                "decode disabled, PIL fallback in use", RuntimeWarning)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -46,6 +46,24 @@ class TestConfig:
         mc = C.from_args(args, C.ModelConfig)
         assert mc.dim_mults == (1, 2)
 
+    def test_diffusion_rejects_incompatible_unet_flags(self):
+        """GaussianDiffusion construction fails fast on learned_variance /
+        sinusoidal-cond models (reference asserts, sdd:1032-1034) instead
+        of training a silently broadcast-wrong loss."""
+        import pytest
+
+        dcfg = C.DiffusionConfig(image_size=16, timesteps=8,
+                                 sampling_timesteps=4)
+        for flag in ("learned_variance", "learned_sinusoidal_cond",
+                     "random_fourier_features"):
+            model = C.build_diffusion_unet(
+                C.ModelConfig(dim=8, dim_mults=(1, 2), **{flag: True}))
+            with pytest.raises(ValueError):
+                C.build_diffusion(dcfg, model)
+        # the production config still constructs
+        model = C.build_diffusion_unet(C.ModelConfig(dim=8, dim_mults=(1, 2)))
+        assert C.build_diffusion(dcfg, model) is not None
+
 
 class TestRemat:
     def test_remat_output_matches(self):

@@ -164,3 +164,52 @@ class TestPng16Decode:
             np.testing.assert_array_equal(ref, got)
             via_loader = imageio16.load_depth_model_space(p, 256, flip=flip)
             np.testing.assert_array_equal(ref, via_loader)
+
+    def test_corrupt_header_rejected_not_fatal(self):
+        """A corrupt IHDR claiming huge dimensions must raise a catchable
+        error, not reach the decode buffers (a std::bad_alloc cannot cross
+        the C ABI and would std::terminate the whole training process)."""
+        self._skip_if_unavailable()
+        import struct
+
+        def ihdr(w, h):
+            sig = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+            body = struct.pack(">II", w, h) + bytes([16, 0, 0, 0, 0])
+            return sig + struct.pack(">I", 13) + b"IHDR" + body + b"\0" * 4
+
+        for w, h in ((1 << 24, 1 << 24),   # per-dim over the cap
+                     (60000, 60000)):      # dims ok, product over 64 Mpix
+            with np.testing.assert_raises(ValueError):
+                native.png16_decode(ihdr(w, h))
+            with np.testing.assert_raises(ValueError):
+                native.png16_depth_preprocess(ihdr(w, h), 256)
+        # the real production size still parses
+        import cv2
+
+        raw = np.zeros((480, 640), np.uint16)
+        ok, buf = cv2.imencode(".png", raw)
+        assert ok
+        assert native.png16_decode(buf.tobytes()).shape == (480, 640)
+
+    def test_fallback_decodes_bytes_once(self, tmp_path, monkeypatch):
+        """When the fused native call rejects a non-16-bit-gray PNG, the
+        loader decodes the already-read bytes with PIL instead of
+        re-reading the file and re-attempting native decode."""
+        self._skip_if_unavailable()
+        from PIL import Image
+
+        gray8 = Image.fromarray(np.full((300, 400), 120, np.uint8))
+        p = tmp_path / "gray8.png"
+        gray8.save(p)
+
+        calls = {"decode": 0}
+        orig = native.png16_decode
+
+        def counting(data):
+            calls["decode"] += 1
+            return orig(data)
+
+        monkeypatch.setattr(native, "png16_decode", counting)
+        out = imageio16.load_depth_model_space(p, 256)
+        assert out.shape == (256, 256)
+        assert calls["decode"] == 0, "fallback must not retry native decode"

@@ -133,8 +133,12 @@ def timed_chain(fn, x, w, iters=30):
 
     r = chain(x, w)
     r.block_until_ready()
+    # vary the timed call's inputs vs the warm-up: the axon tunnel
+    # memoizes identical (executable, args) calls (CLAUDE.md gotcha)
+    x2, w2 = x * jnp.bfloat16(1.01), w * np.float32(1.02)
+    jax.block_until_ready((x2, w2))
     t0 = time.time()
-    r = chain(x, w)
+    r = chain(x2, w2)
     r.block_until_ready()
     return (time.time() - t0) / iters * 1000
 
