@@ -54,53 +54,111 @@ def activation_statistics(
     return mu, sigma
 
 
-class InceptionFeatures:
-    """InceptionV3 pool3 (2048-d) activations on host torch-cpu.
+def _load_inception_state_dict(weights_path: Optional[str]):
+    """Resolve an InceptionV3 state dict from the first available source:
+    an explicit ``weights_path`` (or ``$PRGPT_INCEPTION_WEIGHTS``) loaded
+    with torch, the installed ``pytorch_fid`` package's FID weights, or
+    torchvision's pretrained ``inception_v3``. Raises ImportError with
+    guidance when none is available (FID is optional — the reference
+    defaults ``calculate_fid=False``, train script:40)."""
+    import os
 
-    Gated: instantiating raises ImportError with guidance when neither
-    ``pytorch_fid`` nor ``torchvision`` is installed.
+    path = weights_path or os.environ.get("PRGPT_INCEPTION_WEIGHTS")
+    if path:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return sd
+    try:
+        from pytorch_fid.inception import InceptionV3  # type: ignore
+
+        model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[2048]]).eval()
+        # the FID variant stores modules in Sequential blocks, so its keys
+        # are "blocks.<i>.<j>.…"; rename them back to the torchvision
+        # module names (pooling layers hold no params and shift j)
+        names = {
+            (0, 0): "Conv2d_1a_3x3", (0, 1): "Conv2d_2a_3x3",
+            (0, 2): "Conv2d_2b_3x3",
+            (1, 0): "Conv2d_3b_1x1", (1, 1): "Conv2d_4a_3x3",
+            (2, 0): "Mixed_5b", (2, 1): "Mixed_5c", (2, 2): "Mixed_5d",
+            (2, 3): "Mixed_6a", (2, 4): "Mixed_6b", (2, 5): "Mixed_6c",
+            (2, 6): "Mixed_6d", (2, 7): "Mixed_6e",
+            (3, 0): "Mixed_7a", (3, 1): "Mixed_7b", (3, 2): "Mixed_7c",
+        }
+        sd = {}
+        for key, tensor in model.state_dict().items():
+            parts = key.split(".")
+            if parts[0] != "blocks":
+                continue
+            name = names.get((int(parts[1]), int(parts[2])))
+            if name is not None:
+                sd[".".join([name] + parts[3:])] = tensor
+        return sd
+    except ImportError:
+        pass
+    try:
+        import torchvision  # type: ignore
+
+        return torchvision.models.inception_v3(
+            weights="DEFAULT", aux_logits=True).state_dict()
+    except Exception as e:
+        raise ImportError(
+            "FID needs InceptionV3 weights: pass weights_path / set "
+            "PRGPT_INCEPTION_WEIGHTS to a .pth state dict (e.g. "
+            "pytorch_fid's pt_inception-2015-12-05), or install "
+            "pytorch_fid / torchvision. FID is optional (the reference "
+            "defaults calculate_fid=False).") from e
+
+
+class InceptionFeatures:
+    """InceptionV3 pool3 (2048-d) activations as a jitted XLA program.
+
+    The forward runs on the default JAX device (`eval/inception.py` — the
+    TPU-native replacement for the reference's CUDA pytorch_fid extractor,
+    sdd:1719-1745); torch is only used to load a weight file. Pass
+    ``params`` directly (e.g. from ``inception.init_random_params``) to
+    skip weight resolution.
     """
 
-    def __init__(self, block_dim: int = 2048):
+    def __init__(self, block_dim: int = 2048,
+                 weights_path: Optional[str] = None,
+                 params=None, chunk: int = 32):
+        from pointreggpt_tpu.eval import inception
+
+        if block_dim != inception.FEATURE_DIM:
+            raise ValueError(
+                f"only the {inception.FEATURE_DIM}-d pool3 block is "
+                f"supported (got {block_dim})")
         self.block_dim = block_dim
-        self._model = None
-        try:
-            from pytorch_fid.inception import InceptionV3  # type: ignore
+        self.chunk = chunk
+        if params is None:
+            params = inception.port_inception(
+                _load_inception_state_dict(weights_path))
+        self.params = params
+        import jax
 
-            idx = InceptionV3.BLOCK_INDEX_BY_DIM[block_dim]
-            self._model = InceptionV3([idx]).eval()
-            self._mode = "pytorch_fid"
-        except ImportError:
-            try:
-                import torchvision  # type: ignore
-
-                self._model = torchvision.models.inception_v3(
-                    weights="DEFAULT", aux_logits=True).eval()
-                self._model.fc = __import__("torch").nn.Identity()
-                self._mode = "torchvision"
-            except Exception as e:  # pragma: no cover
-                raise ImportError(
-                    "FID requires pytorch_fid or torchvision for "
-                    "InceptionV3 features; both are unavailable. FID is "
-                    "optional (the reference defaults calculate_fid=False)."
-                ) from e
+        self._fn = jax.jit(lambda imgs: inception.features(params, imgs))
 
     def __call__(self, images01: np.ndarray) -> np.ndarray:
         """(n, h, w, 1|3) [0,1] images -> (n, 2048) activations."""
-        import torch
-
         x = np.asarray(images01, np.float32)
-        if x.shape[-1] == 1:
-            x = np.repeat(x, 3, axis=-1)
-        t = torch.from_numpy(x).permute(0, 3, 1, 2)
-        with torch.no_grad():
-            if self._mode == "pytorch_fid":
-                feats = self._model(t)[0]
-                return feats.reshape(feats.shape[0], -1).numpy()
-            t = torch.nn.functional.interpolate(
-                t, size=(299, 299), mode="bilinear", align_corners=False)
-            t = t * 2 - 1
-            return self._model(t).numpy()
+        n = x.shape[0]
+        if x.ndim != 4:
+            raise ValueError(f"expected (n, h, w, c) images, got {x.shape}")
+        out = np.empty((n, self.block_dim), np.float32)
+        # fixed-size chunks (tail padded) keep one compiled executable
+        for lo in range(0, n, self.chunk):
+            count = min(self.chunk, n - lo)
+            part = x[lo:lo + count]
+            if count < self.chunk and n > self.chunk:
+                part = np.concatenate(
+                    [part,
+                     np.zeros((self.chunk - count, *x.shape[1:]),
+                              np.float32)])
+            out[lo:lo + count] = np.asarray(self._fn(part))[:count]
+        return out
 
 
 def fid_score(real_images01: np.ndarray,
