@@ -181,6 +181,11 @@ class GaussianDiffusion:
                 is active).
         """
         model_output = self.apply_fn(params, x, t, param_cond)
+        if model_output.shape != x.shape:
+            raise ValueError(
+                f"model output {model_output.shape} != input {x.shape}; "
+                f"GaussianDiffusion requires out channels == in channels "
+                f"(learned_variance models are unsupported, sdd:1032-1034)")
         clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (
             lambda v: v)
 
@@ -227,6 +232,16 @@ class GaussianDiffusion:
             noise = jax.random.normal(key, x_start.shape, x_start.dtype)
         x = self.q_sample(x_start, t, noise)
         model_out = self.apply_fn(params, x, t, param_cond)
+        if model_out.shape != x_start.shape:
+            # catches e.g. a learned_variance=True Unet (2x out head)
+            # wired in directly: |model_out - target| would silently
+            # broadcast (b,h,w,2) against (b,h,w,1) and train a wrong
+            # loss (the reference asserts at construction, sdd:1032-1034;
+            # this wrapper only sees apply_fn, so the check lives here)
+            raise ValueError(
+                f"model output {model_out.shape} != target "
+                f"{x_start.shape}; GaussianDiffusion requires out "
+                f"channels == in channels")
 
         if self.objective == "pred_noise":
             target = noise

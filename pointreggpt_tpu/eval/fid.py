@@ -60,7 +60,12 @@ def _load_inception_state_dict(weights_path: Optional[str]):
     with torch, the installed ``pytorch_fid`` package's FID weights, or
     torchvision's pretrained ``inception_v3``. Raises ImportError with
     guidance when none is available (FID is optional — the reference
-    defaults ``calculate_fid=False``, train script:40)."""
+    defaults ``calculate_fid=False``, train script:40).
+
+    Returns ``(state_dict, fid_pools)``: explicit/pytorch_fid weights are
+    the TF-ported FID variant (modified pools); torchvision weights were
+    trained under plain torchvision pool semantics and are run that way.
+    """
     import os
 
     path = weights_path or os.environ.get("PRGPT_INCEPTION_WEIGHTS")
@@ -70,7 +75,7 @@ def _load_inception_state_dict(weights_path: Optional[str]):
         sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
-        return sd
+        return sd, True
     try:
         from pytorch_fid.inception import InceptionV3  # type: ignore
 
@@ -95,14 +100,17 @@ def _load_inception_state_dict(weights_path: Optional[str]):
             name = names.get((int(parts[1]), int(parts[2])))
             if name is not None:
                 sd[".".join([name] + parts[3:])] = tensor
-        return sd
-    except ImportError:
+        return sd, True
+    except Exception:
+        # not just ImportError: pytorch_fid's constructor DOWNLOADS its
+        # FID weights, so an offline host raises URLError/RuntimeError —
+        # fall through to torchvision / the guidance error either way
         pass
     try:
         import torchvision  # type: ignore
 
         return torchvision.models.inception_v3(
-            weights="DEFAULT", aux_logits=True).state_dict()
+            weights="DEFAULT", aux_logits=True).state_dict(), False
     except Exception as e:
         raise ImportError(
             "FID needs InceptionV3 weights: pass weights_path / set "
@@ -124,7 +132,8 @@ class InceptionFeatures:
 
     def __init__(self, block_dim: int = 2048,
                  weights_path: Optional[str] = None,
-                 params=None, chunk: int = 32):
+                 params=None, chunk: int = 32,
+                 fid_pools: Optional[bool] = None):
         from pointreggpt_tpu.eval import inception
 
         if block_dim != inception.FEATURE_DIM:
@@ -134,12 +143,21 @@ class InceptionFeatures:
         self.block_dim = block_dim
         self.chunk = chunk
         if params is None:
-            params = inception.port_inception(
-                _load_inception_state_dict(weights_path))
-        self.params = params
+            sd, source_fid_pools = _load_inception_state_dict(weights_path)
+            params = inception.port_inception(sd)
+            if fid_pools is None:
+                fid_pools = source_fid_pools
+        self.fid_pools = True if fid_pools is None else fid_pools
         import jax
 
-        self._fn = jax.jit(lambda imgs: inception.features(params, imgs))
+        # params ride as jit ARGUMENTS (device_put once) — closing over
+        # the ~24M-param tree would bake ~95 MB of constants into the
+        # compile payload (CLAUDE.md's HTTP-413 tunnel hazard) and
+        # recompile per instance
+        self.params = jax.device_put(params)
+        self._fn = jax.jit(
+            lambda p, imgs: inception.features(
+                p, imgs, fid_pools=self.fid_pools))
 
     def __call__(self, images01: np.ndarray) -> np.ndarray:
         """(n, h, w, 1|3) [0,1] images -> (n, 2048) activations."""
@@ -157,7 +175,8 @@ class InceptionFeatures:
                     [part,
                      np.zeros((self.chunk - count, *x.shape[1:]),
                               np.float32)])
-            out[lo:lo + count] = np.asarray(self._fn(part))[:count]
+            out[lo:lo + count] = np.asarray(
+                self._fn(self.params, part))[:count]
         return out
 
 

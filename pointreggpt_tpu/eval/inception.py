@@ -168,13 +168,22 @@ def init_random_params(seed: int = 0) -> Dict[str, Dict[str, np.ndarray]]:
 
 
 def _bconv(params, name: str, x, stride=(1, 1), padding=(0, 0)):
-    """BasicConv2d: bias-free conv -> eval-mode BatchNorm -> ReLU."""
+    """BasicConv2d: bias-free conv -> eval-mode BatchNorm -> ReLU.
+
+    Precision is pinned fp32: TPU convs default to bf16 inputs and 94
+    stacked convs would drift FID features away from the fp32 torch
+    reference (same rule as the geometry matmuls, CLAUDE.md).
+    """
     p = params[name]
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
     y = jax.lax.conv_general_dilated(
         x, jnp.asarray(p["kernel"]), stride, pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    inv = p["scale"] / np.sqrt(p["var"] + _BN_EPS)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    # jnp math (not np) so params can be traced jit ARGUMENTS — closing
+    # over the ~24M-param tree would bake ~95 MB of HLO constants into the
+    # compile payload (the CLAUDE.md HTTP-413 tunnel hazard)
+    inv = p["scale"] * jax.lax.rsqrt(jnp.asarray(p["var"]) + _BN_EPS)
     return jax.nn.relu(y * inv + (p["bias"] - p["mean"] * inv))
 
 
@@ -184,26 +193,30 @@ def _max_pool3(x, stride: int):
         "VALID" if stride == 2 else [(0, 0), (1, 1), (1, 1), (0, 0)])
 
 
-def _avg_pool3_excl(x):
-    """3x3/s1/p1 average pool with ``count_include_pad=False`` (the
-    pytorch_fid FID modification in InceptionA/C/E_1)."""
+def _avg_pool3(x, exclude_pad: bool):
+    """3x3/s1/p1 average pool. ``exclude_pad=True`` divides by the number
+    of in-bounds taps (torch ``count_include_pad=False`` — the pytorch_fid
+    FID modification in InceptionA/C/E_1); False divides by 9 (torchvision
+    ``inception_v3`` semantics)."""
     window = (1, 3, 3, 1)
     pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
     total = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, (1,) * 4, pad)
+    if not exclude_pad:
+        return total / 9.0
     ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
     count = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, (1,) * 4,
                                   pad)
     return total / count
 
 
-def _inception_a(params, pfx: str, x):
+def _inception_a(params, pfx: str, x, fid_pools: bool):
     b1 = _bconv(params, f"{pfx}.branch1x1", x)
     b5 = _bconv(params, f"{pfx}.branch5x5_1", x)
     b5 = _bconv(params, f"{pfx}.branch5x5_2", b5, padding=(2, 2))
     b3 = _bconv(params, f"{pfx}.branch3x3dbl_1", x)
     b3 = _bconv(params, f"{pfx}.branch3x3dbl_2", b3, padding=(1, 1))
     b3 = _bconv(params, f"{pfx}.branch3x3dbl_3", b3, padding=(1, 1))
-    bp = _bconv(params, f"{pfx}.branch_pool", _avg_pool3_excl(x))
+    bp = _bconv(params, f"{pfx}.branch_pool", _avg_pool3(x, fid_pools))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -215,7 +228,7 @@ def _inception_b(params, pfx: str, x):
     return jnp.concatenate([b3, bd, _max_pool3(x, 2)], axis=-1)
 
 
-def _inception_c(params, pfx: str, x):
+def _inception_c(params, pfx: str, x, fid_pools: bool):
     b1 = _bconv(params, f"{pfx}.branch1x1", x)
     b7 = _bconv(params, f"{pfx}.branch7x7_1", x)
     b7 = _bconv(params, f"{pfx}.branch7x7_2", b7, padding=(0, 3))
@@ -225,7 +238,7 @@ def _inception_c(params, pfx: str, x):
     bd = _bconv(params, f"{pfx}.branch7x7dbl_3", bd, padding=(0, 3))
     bd = _bconv(params, f"{pfx}.branch7x7dbl_4", bd, padding=(3, 0))
     bd = _bconv(params, f"{pfx}.branch7x7dbl_5", bd, padding=(0, 3))
-    bp = _bconv(params, f"{pfx}.branch_pool", _avg_pool3_excl(x))
+    bp = _bconv(params, f"{pfx}.branch_pool", _avg_pool3(x, fid_pools))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -239,7 +252,7 @@ def _inception_d(params, pfx: str, x):
     return jnp.concatenate([b3, b7, _max_pool3(x, 2)], axis=-1)
 
 
-def _inception_e(params, pfx: str, x, pool: str):
+def _inception_e(params, pfx: str, x, pool: str, fid_pools: bool):
     b1 = _bconv(params, f"{pfx}.branch1x1", x)
     b3 = _bconv(params, f"{pfx}.branch3x3_1", x)
     b3 = jnp.concatenate([
@@ -252,18 +265,26 @@ def _inception_e(params, pfx: str, x, pool: str):
         _bconv(params, f"{pfx}.branch3x3dbl_3a", bd, padding=(0, 1)),
         _bconv(params, f"{pfx}.branch3x3dbl_3b", bd, padding=(1, 0)),
     ], axis=-1)
-    pooled = _avg_pool3_excl(x) if pool == "avg" else _max_pool3(x, 1)
+    pooled = _avg_pool3(x, fid_pools) if pool == "avg" \
+        else _max_pool3(x, 1)
     bp = _bconv(params, f"{pfx}.branch_pool", pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
-def features(params, images01, resize_to: int = 299):
+def features(params, images01, resize_to: int = 299,
+             fid_pools: bool = True):
     """(n, h, w, 1|3) images in [0, 1] -> (n, 2048) pool3 activations.
 
     Matches pytorch_fid's preprocessing: bilinear resize (half-pixel
     centers, no antialias — torch ``F.interpolate(align_corners=False)``)
     to 299x299 then scale to [-1, 1] (sdd: pytorch_fid resize_input /
     normalize_input defaults).
+
+    ``fid_pools=True`` uses pytorch_fid's modified pools (for its
+    TF-ported FID weights); ``False`` uses plain torchvision
+    ``inception_v3`` pool semantics (count_include_pad avg everywhere,
+    avg in Mixed_7c) so torchvision-sourced weights run through the
+    architecture they were trained in.
     """
     x = jnp.asarray(images01, jnp.float32)
     if x.shape[-1] == 1:
@@ -282,11 +303,14 @@ def features(params, images01, resize_to: int = 299):
     x = _bconv(params, "Conv2d_4a_3x3", x)
     x = _max_pool3(x, 2)
     for pfx in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        x = _inception_a(params, pfx, x)
+        x = _inception_a(params, pfx, x, fid_pools)
     x = _inception_b(params, "Mixed_6a", x)
     for pfx in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        x = _inception_c(params, pfx, x)
+        x = _inception_c(params, pfx, x, fid_pools)
     x = _inception_d(params, "Mixed_7a", x)
-    x = _inception_e(params, "Mixed_7b", x, pool="avg")
-    x = _inception_e(params, "Mixed_7c", x, pool="max")
+    x = _inception_e(params, "Mixed_7b", x, pool="avg",
+                     fid_pools=fid_pools)
+    x = _inception_e(params, "Mixed_7c", x,
+                     pool="max" if fid_pools else "avg",
+                     fid_pools=fid_pools)
     return jnp.mean(x, axis=(1, 2))

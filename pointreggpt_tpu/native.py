@@ -143,7 +143,10 @@ def png16_decode(png_bytes: bytes) -> Optional[np.ndarray]:
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.png16_dims(ptr, buf.size, ctypes.byref(h), ctypes.byref(w))
-    if rc in (4, 5):  # unsupported bit depth/color/interlace
+    # 3: over the 64-Mpix allocation cap (a LEGITIMATE huge image decodes
+    # via PIL, which has its own decompression-bomb guard); 4/5:
+    # unsupported bit depth/color/interlace
+    if rc in (3, 4, 5):
         return None
     if rc != 0:
         raise ValueError(f"png16_dims failed (rc={rc})")
@@ -170,7 +173,7 @@ def png16_depth_preprocess(png_bytes: bytes, out_size: int,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
         out_size, int(flip),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if rc in (4, 5):
+    if rc in (3, 4, 5):  # dims over cap -> PIL; unsupported format -> PIL
         return None
     if rc != 0:
         raise ValueError(f"png16_depth_preprocess failed (rc={rc})")

@@ -278,3 +278,31 @@ class TestInterpolate:
                             jnp.zeros((1, 4)), t=4)
         assert out.shape == x1.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestOutputShapeGuard:
+    """A model with out channels != in channels (e.g. learned_variance's 2x
+    head wired in directly, bypassing config.build_diffusion) must fail
+    fast at trace time, not silently broadcast a wrong loss (the reference
+    asserts at construction, sdd:1032-1034)."""
+
+    def _two_channel(self, params, x, t, param_cond):
+        return jnp.concatenate([x, x], axis=-1)
+
+    def test_p_losses_rejects(self):
+        import pytest
+
+        d = _dummy_diffusion(apply_fn=self._two_channel)
+        x0 = jnp.zeros((1, 8, 8, 1))
+        with pytest.raises(ValueError, match="out channels"):
+            d.p_losses({}, jax.random.PRNGKey(0), x0, jnp.array([2]),
+                       jnp.zeros((1, 4)))
+
+    def test_sampling_rejects(self):
+        import pytest
+
+        d = _dummy_diffusion(sampling_timesteps=4,
+                             apply_fn=self._two_channel)
+        with pytest.raises(ValueError, match="out channels"):
+            d.sample({}, jax.random.PRNGKey(0),
+                     param_cond=jnp.zeros((1, 4)))

@@ -30,13 +30,14 @@ class _Basic(nn.Module):
         return F.relu(self.bn(self.conv(x)))
 
 
-def _avg3(x):
-    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+def _avg3(x, fid_pools=True):
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=not fid_pools)
 
 
 class _IncA(nn.Module):
-    def __init__(self, cin, pool):
+    def __init__(self, cin, pool, fid_pools=True):
         super().__init__()
+        self._fid_pools = fid_pools
         self.branch1x1 = _Basic(cin, 64, kernel_size=1)
         self.branch5x5_1 = _Basic(cin, 48, kernel_size=1)
         self.branch5x5_2 = _Basic(48, 64, kernel_size=5, padding=2)
@@ -51,7 +52,7 @@ class _IncA(nn.Module):
             self.branch5x5_2(self.branch5x5_1(x)),
             self.branch3x3dbl_3(
                 self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
-            self.branch_pool(_avg3(x))], 1)
+            self.branch_pool(_avg3(x, self._fid_pools))], 1)
 
 
 class _IncB(nn.Module):
@@ -71,8 +72,9 @@ class _IncB(nn.Module):
 
 
 class _IncC(nn.Module):
-    def __init__(self, cin, c7):
+    def __init__(self, cin, c7, fid_pools=True):
         super().__init__()
+        self._fid_pools = fid_pools
         self.branch1x1 = _Basic(cin, 192, kernel_size=1)
         self.branch7x7_1 = _Basic(cin, c7, kernel_size=1)
         self.branch7x7_2 = _Basic(c7, c7, kernel_size=(1, 7),
@@ -95,7 +97,7 @@ class _IncC(nn.Module):
         bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
             self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
         return torch.cat([self.branch1x1(x), b7, bd,
-                          self.branch_pool(_avg3(x))], 1)
+                          self.branch_pool(_avg3(x, self._fid_pools))], 1)
 
 
 class _IncD(nn.Module):
@@ -119,9 +121,10 @@ class _IncD(nn.Module):
 
 
 class _IncE(nn.Module):
-    def __init__(self, cin, pool):
+    def __init__(self, cin, pool, fid_pools=True):
         super().__init__()
         self._pool = pool
+        self._fid_pools = fid_pools
         self.branch1x1 = _Basic(cin, 320, kernel_size=1)
         self.branch3x3_1 = _Basic(cin, 384, kernel_size=1)
         self.branch3x3_2a = _Basic(384, 384, kernel_size=(1, 3),
@@ -142,31 +145,33 @@ class _IncE(nn.Module):
         bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
         bd = torch.cat([self.branch3x3dbl_3a(bd),
                         self.branch3x3dbl_3b(bd)], 1)
-        pooled = _avg3(x) if self._pool == "avg" else \
-            F.max_pool2d(x, 3, 1, 1)
+        pooled = _avg3(x, self._fid_pools) if self._pool == "avg" \
+            else F.max_pool2d(x, 3, 1, 1)
         return torch.cat([self.branch1x1(x), b3, bd,
                           self.branch_pool(pooled)], 1)
 
 
 class _TorchFidInception(nn.Module):
-    def __init__(self):
+    def __init__(self, fid_pools=True):
         super().__init__()
         self.Conv2d_1a_3x3 = _Basic(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = _Basic(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = _Basic(32, 64, kernel_size=3, padding=1)
         self.Conv2d_3b_1x1 = _Basic(64, 80, kernel_size=1)
         self.Conv2d_4a_3x3 = _Basic(80, 192, kernel_size=3)
-        self.Mixed_5b = _IncA(192, 32)
-        self.Mixed_5c = _IncA(256, 64)
-        self.Mixed_5d = _IncA(288, 64)
+        self.Mixed_5b = _IncA(192, 32, fid_pools)
+        self.Mixed_5c = _IncA(256, 64, fid_pools)
+        self.Mixed_5d = _IncA(288, 64, fid_pools)
         self.Mixed_6a = _IncB(288)
-        self.Mixed_6b = _IncC(768, 128)
-        self.Mixed_6c = _IncC(768, 160)
-        self.Mixed_6d = _IncC(768, 160)
-        self.Mixed_6e = _IncC(768, 192)
+        self.Mixed_6b = _IncC(768, 128, fid_pools)
+        self.Mixed_6c = _IncC(768, 160, fid_pools)
+        self.Mixed_6d = _IncC(768, 160, fid_pools)
+        self.Mixed_6e = _IncC(768, 192, fid_pools)
         self.Mixed_7a = _IncD(768)
-        self.Mixed_7b = _IncE(1280, pool="avg")
-        self.Mixed_7c = _IncE(2048, pool="max")
+        self.Mixed_7b = _IncE(1280, pool="avg", fid_pools=fid_pools)
+        self.Mixed_7c = _IncE(
+            2048, pool="max" if fid_pools else "avg",
+            fid_pools=fid_pools)
 
     def forward(self, x01, resize_to):
         x = F.interpolate(x01, (resize_to, resize_to), mode="bilinear",
@@ -202,8 +207,11 @@ def _randomize(model: nn.Module, seed: int = 7) -> None:
 
 
 class TestInceptionParity:
-    def test_port_matches_torch_mirror(self, rng):
-        torch_model = _TorchFidInception().eval()
+    @pytest.mark.parametrize("fid_pools", [True, False])
+    def test_port_matches_torch_mirror(self, rng, fid_pools):
+        """fid_pools=True: pytorch_fid pool semantics; False: plain
+        torchvision (used when weights come from torchvision)."""
+        torch_model = _TorchFidInception(fid_pools).eval()
         _randomize(torch_model)
         params = inception.port_inception(torch_model.state_dict())
 
@@ -212,7 +220,8 @@ class TestInceptionParity:
             want = torch_model(
                 torch.from_numpy(imgs).permute(0, 3, 1, 2),
                 resize_to=75).numpy()
-        got = np.asarray(inception.features(params, imgs, resize_to=75))
+        got = np.asarray(inception.features(params, imgs, resize_to=75,
+                                            fid_pools=fid_pools))
         assert got.shape == (2, inception.FEATURE_DIM)
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
 
@@ -233,7 +242,7 @@ class TestInceptionParity:
         import jax
 
         ext._fn = jax.jit(
-            lambda im: inception.features(params, im, resize_to=75))
+            lambda p, im: inception.features(p, im, resize_to=75))
         imgs = rng.uniform(0, 1, (5, 32, 32, 1)).astype(np.float32)
         feats = ext(imgs)
         assert feats.shape == (5, 2048)
@@ -248,7 +257,7 @@ class TestInceptionParity:
         import jax
 
         ext._fn = jax.jit(
-            lambda im: inception.features(params, im, resize_to=75))
+            lambda p, im: inception.features(p, im, resize_to=75))
         a = rng.uniform(0, 1, (6, 32, 32, 1)).astype(np.float32)
         b = rng.uniform(0, 1, (6, 32, 32, 1)).astype(np.float32)
         assert fid.fid_score(a, a, extractor=ext) == pytest.approx(

@@ -166,9 +166,12 @@ class TestPng16Decode:
             np.testing.assert_array_equal(ref, via_loader)
 
     def test_corrupt_header_rejected_not_fatal(self):
-        """A corrupt IHDR claiming huge dimensions must raise a catchable
-        error, not reach the decode buffers (a std::bad_alloc cannot cross
-        the C ABI and would std::terminate the whole training process)."""
+        """An IHDR claiming huge dimensions must not reach the decode
+        buffers (a std::bad_alloc cannot cross the C ABI and would
+        std::terminate the whole training process). Over-cap dims return
+        None — a LEGITIMATE huge 16-bit PNG then decodes via the PIL
+        fallback (which has its own decompression-bomb guard) instead of
+        crashing the loader."""
         self._skip_if_unavailable()
         import struct
 
@@ -179,10 +182,11 @@ class TestPng16Decode:
 
         for w, h in ((1 << 24, 1 << 24),   # per-dim over the cap
                      (60000, 60000)):      # dims ok, product over 64 Mpix
-            with np.testing.assert_raises(ValueError):
-                native.png16_decode(ihdr(w, h))
-            with np.testing.assert_raises(ValueError):
-                native.png16_depth_preprocess(ihdr(w, h), 256)
+            assert native.png16_decode(ihdr(w, h)) is None
+            assert native.png16_depth_preprocess(ihdr(w, h), 256) is None
+        # genuinely malformed input (bad signature) still raises
+        with np.testing.assert_raises(ValueError):
+            native.png16_decode(b"\x00" * 64)
         # the real production size still parses
         import cv2
 
@@ -213,3 +217,62 @@ class TestPng16Decode:
         out = imageio16.load_depth_model_space(p, 256)
         assert out.shape == (256, 256)
         assert calls["decode"] == 0, "fallback must not retry native decode"
+
+    def test_every_filter_type_hand_crafted(self):
+        """Encoders pick filters adaptively, so force each PNG filter type
+        (0=None,1=Sub,2=Up,3=Average,4=Paeth) on every scanline of a
+        hand-assembled PNG and check the native unfilter against PIL."""
+        self._skip_if_unavailable()
+        import io
+        import struct
+        import zlib
+
+        from PIL import Image
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body +
+                    struct.pack(">I", zlib.crc32(tag + body)))
+
+        rng = np.random.default_rng(11)
+        h, w = 23, 17
+        raw = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        big = raw.astype(">u2").tobytes()  # PNG is big-endian
+        rows = [big[r * w * 2:(r + 1) * w * 2] for r in range(h)]
+
+        def paeth(a, b, c):
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        for ftype in range(5):
+            scan = bytearray()
+            prev = bytes(w * 2)
+            for row in rows:
+                scan.append(ftype)
+                for i, x in enumerate(row):
+                    a = row[i - 2] if i >= 2 else 0
+                    b = prev[i]
+                    c = prev[i - 2] if i >= 2 else 0
+                    if ftype == 0:
+                        f = x
+                    elif ftype == 1:
+                        f = (x - a) & 0xFF
+                    elif ftype == 2:
+                        f = (x - b) & 0xFF
+                    elif ftype == 3:
+                        f = (x - (a + b) // 2) & 0xFF
+                    else:
+                        f = (x - paeth(a, b, c)) & 0xFF
+                    scan.append(f)
+                prev = row
+            ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+            png = (bytes([137, 80, 78, 71, 13, 10, 26, 10]) +
+                   chunk(b"IHDR", ihdr) +
+                   chunk(b"IDAT", zlib.compress(bytes(scan))) +
+                   chunk(b"IEND", b""))
+            ref = np.asarray(Image.open(io.BytesIO(png)))
+            np.testing.assert_array_equal(ref, raw,
+                                          err_msg=f"filter {ftype} (PIL)")
+            got = native.png16_decode(png)
+            np.testing.assert_array_equal(got, raw,
+                                          err_msg=f"filter {ftype}")
