@@ -31,14 +31,24 @@ from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 
 
-def save_triptych(path, image_prev: np.ndarray, image_rpj: np.ndarray,
-                  image_new: np.ndarray) -> None:
-    """Save [prev | reprojected | new] as one grayscale PNG (sdd:1984-1998)."""
-    from PIL import Image
+def _imsave(path, vis: np.ndarray, cmap: str) -> None:
+    """Colormapped [0,1] image to PNG — the reference saves all Tester
+    visualizations with ``plt.imsave(..., cmap=, vmin=0, vmax=1)``
+    (gray in ``sample`` sdd:2060-2067, plasma in ``generate`` sdd:2200)."""
+    from matplotlib import image as mpimg
 
-    vis = np.concatenate([image_prev, image_rpj, image_new], axis=-1)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray((np.clip(vis, 0, 1) * 255).astype(np.uint8)).save(path)
+    mpimg.imsave(str(path), np.clip(vis, 0.0, 1.0), cmap=cmap, vmin=0,
+                 vmax=1)
+
+
+def save_triptych(path, image_prev: np.ndarray, image_rpj: np.ndarray,
+                  image_new: np.ndarray, cmap: str = "gray") -> np.ndarray:
+    """Save [prev | reprojected | new] as one PNG (sdd:1984-1998); returns
+    the concatenated row so callers can build the final overview grid."""
+    vis = np.concatenate([image_prev, image_rpj, image_new], axis=-1)
+    _imsave(path, vis, cmap)
+    return vis
 
 
 class Tester:
@@ -159,6 +169,7 @@ class Tester:
         key = jax.random.PRNGKey(self.seed)
         done = 0
         b_idx = 0
+        overview_rows = []  # one triptych strip per scene (sdd:2088-2096)
         while done < num_scenes:
             batch = min(self.batch_size, num_scenes - done)
             key, k_intr, k_s = jax.random.split(key, 3)
@@ -171,12 +182,13 @@ class Tester:
             images = np.asarray(
                 self._sample_uncond_fn(self.ema_params, k_s, param_cond))
 
+            scene_rows = [[] for _ in range(batch)]
             for scene_idx in range(batch):
                 sid = b_idx * self.batch_size + scene_idx
                 img = images[scene_idx, ..., 0]
-                save_triptych(
+                scene_rows[scene_idx].append(save_triptych(
                     self.samples_folder / f"scene-{sid}-sample-0.png",
-                    np.zeros_like(img), np.zeros_like(img), img)
+                    np.zeros_like(img), np.zeros_like(img), img))
                 pc = G.point_cloud_np(img * 10, intrinsic[scene_idx],
                                       clip=(0.5, 3.5))
                 plyio.write_ply(
@@ -213,12 +225,12 @@ class Tester:
 
                 for scene_idx in range(batch):
                     sid = b_idx * self.batch_size + scene_idx
-                    save_triptych(
+                    scene_rows[scene_idx].append(save_triptych(
                         self.samples_folder /
                         f"scene-{sid}-sample-{sample_idx}.png",
                         images_last[scene_idx, ..., 0],
                         images_rpj[scene_idx],
-                        images[scene_idx, ..., 0])
+                        images[scene_idx, ..., 0]))
                     pc = G.point_cloud_np(images[scene_idx, ..., 0] * 10,
                                           intrinsic[scene_idx],
                                           clip=(0.5, 3.5))
@@ -229,8 +241,14 @@ class Tester:
                         self.samples_folder /
                         f"scene-{sid}-sample-{sample_idx}.ply", pc)
 
+            overview_rows += [np.concatenate(r, axis=-1)
+                              for r in scene_rows]
             done += batch
             b_idx += 1
+
+        # all scenes x all samples in one grid (sdd:2088-2096)
+        _imsave(self.samples_folder / "overview.png",
+                np.concatenate(overview_rows, axis=0), "gray")
 
     # ------------------------------------------------------------------
     def generate(self, num_scenes: int, num_samples: int,
@@ -271,6 +289,7 @@ class Tester:
             return P.keep_nearest(down, down_valid, memory_capacity,
                                   valid_is_prefix=True)
 
+        overview_rows = []  # plasma overview grid rows (sdd:2237-2246)
         while done < num_scenes:
             batch = min(self.batch_size, num_scenes - done)
             key, k_intr, k_s = jax.random.split(key, 3)
@@ -288,12 +307,14 @@ class Tester:
             mem_pts = jnp.pad(mem_pts0, ((0, 0), (0, pad), (0, 0)))
             mem_valid = jnp.pad(mem_valid0, ((0, 0), (0, pad)))
 
+            scene_rows = [[] for _ in range(batch)]
             for scene_idx in range(batch):
                 sid = b_idx * self.batch_size + scene_idx
                 img = images[scene_idx, ..., 0]
-                save_triptych(
+                scene_rows[scene_idx].append(save_triptych(
                     self.samples_folder / f"scene-{sid}-sample-0.png",
-                    np.zeros_like(img), np.zeros_like(img), img)
+                    np.zeros_like(img), np.zeros_like(img), img,
+                    cmap="plasma"))
 
             for sample_idx in range(1, num_samples):
                 key, k_pose, k_s = jax.random.split(key, 3)
@@ -323,20 +344,35 @@ class Tester:
 
                 for scene_idx in range(batch):
                     sid = b_idx * self.batch_size + scene_idx
-                    save_triptych(
+                    scene_rows[scene_idx].append(save_triptych(
                         self.samples_folder /
                         f"scene-{sid}-sample-{sample_idx}.png",
                         images_last[scene_idx, ..., 0],
-                        images_rpj[scene_idx], images[scene_idx, ..., 0])
+                        images_rpj[scene_idx], images[scene_idx, ..., 0],
+                        cmap="plasma"))
 
-            # final memory clouds to PLY
+            # final clouds: the reference contract `scene-{sid}.ply` at
+            # voxel 0.025 (sdd:2225-2236) + the full-resolution memory as
+            # a debug extra
+            save_pts, save_valid = jax.vmap(
+                lambda p, v: P.voxel_downsample(p, v, 0.025))(
+                    mem_pts, mem_valid)
+            save_np, savev_np = np.asarray(save_pts), np.asarray(save_valid)
             mem_np = np.asarray(mem_pts)
             memv_np = np.asarray(mem_valid)
             for scene_idx in range(batch):
                 sid = b_idx * self.batch_size + scene_idx
                 plyio.write_ply(
+                    self.samples_folder / f"scene-{sid}.ply",
+                    save_np[scene_idx][savev_np[scene_idx]])
+                plyio.write_ply(
                     self.samples_folder / f"scene-{sid}-memory.ply",
                     mem_np[scene_idx][memv_np[scene_idx]])
 
+            overview_rows += [np.concatenate(r, axis=-1)
+                              for r in scene_rows]
             done += batch
             b_idx += 1
+
+        _imsave(self.samples_folder / "overview.png",
+                np.concatenate(overview_rows, axis=0), "plasma")

@@ -54,6 +54,9 @@ class TestTester:
         from PIL import Image
         img = Image.open(samples / "scene-0-sample-1.png")
         assert img.size == (32 * 3, 32)
+        # all scenes x samples in one grid (sdd:2088-2096)
+        grid = Image.open(samples / "overview.png")
+        assert grid.size == (32 * 3 * 2, 32 * 2)
         # intrinsics parse back
         k = np.loadtxt(samples / "scene-0-camera-intrinsics.txt")
         assert k.shape == (3, 3) and k[2, 2] == 1.0
@@ -74,6 +77,17 @@ class TestTester:
             assert (samples / f"scene-{sid}-sample-1.png").exists()
             mem = plyio.read_ply(samples / f"scene-{sid}-memory.ply")
             assert mem.shape[1] == 3
+            # the reference contract: scene-{sid}.ply at voxel 0.025
+            # (sdd:2225-2236); coarser than the memory cloud
+            scene = plyio.read_ply(samples / f"scene-{sid}.ply")
+            assert 0 < scene.shape[0] <= mem.shape[0]
+        # plasma overview grid (sdd:2237-2246): colored, not grayscale
+        import numpy as _np
+        from PIL import Image
+        grid = _np.asarray(Image.open(samples / "overview.png").convert(
+            "RGB"), dtype=_np.int32)
+        assert grid.shape[:2] == (32 * 2, 32 * 3 * 2)
+        assert _np.abs(grid[..., 0] - grid[..., 2]).max() > 0
 
 
 class TestDepthImageNp:

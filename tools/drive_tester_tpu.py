@@ -73,6 +73,8 @@ for sid in range(4):
         assert Image.open(png).size == (image_size * 3, image_size)
         pc = plyio.read_ply(tmp / f"samples/scene-{sid}-sample-{s}.ply")
         assert pc.shape[1] == 3
+assert Image.open(tmp / "samples/overview.png").size == \
+    (image_size * 3 * 4, image_size * 4)
 
 # --- generate: scene-memory successive path ------------------------------
 gen_dir = tmp / "samples_gen"
@@ -89,6 +91,9 @@ for sid in range(4):
         assert (gen_dir / f"scene-{sid}-sample-{s}.png").exists()
     mem = plyio.read_ply(gen_dir / f"scene-{sid}-memory.ply")
     assert mem.shape[0] > 1000 and mem.shape[1] == 3
+    scene = plyio.read_ply(gen_dir / f"scene-{sid}.ply")  # voxel 0.025
+    assert 0 < scene.shape[0] <= mem.shape[0]
+assert (gen_dir / "overview.png").exists()
 
 # --- unconditional grid --------------------------------------------------
 tester.samples_folder = tmp / "samples"
