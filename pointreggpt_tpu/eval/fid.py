@@ -101,11 +101,20 @@ def _load_inception_state_dict(weights_path: Optional[str]):
             if name is not None:
                 sd[".".join([name] + parts[3:])] = tensor
         return sd, True
-    except Exception:
-        # not just ImportError: pytorch_fid's constructor DOWNLOADS its
-        # FID weights, so an offline host raises URLError/RuntimeError —
-        # fall through to torchvision / the guidance error either way
+    except ImportError:
         pass
+    except Exception as e:
+        # pytorch_fid IS installed but unusable (its constructor DOWNLOADS
+        # the FID weights, so an offline host raises URLError/RuntimeError).
+        # Fall through to torchvision — but LOUDLY: torchvision weights use
+        # different pool semantics, so FID scores change scale
+        import warnings
+
+        warnings.warn(
+            f"pytorch_fid present but unusable ({type(e).__name__}: {e}); "
+            "falling back to torchvision inception weights — FID values "
+            "are NOT comparable with pytorch_fid-based runs",
+            RuntimeWarning)
     try:
         import torchvision  # type: ignore
 
@@ -166,11 +175,13 @@ class InceptionFeatures:
         if x.ndim != 4:
             raise ValueError(f"expected (n, h, w, c) images, got {x.shape}")
         out = np.empty((n, self.block_dim), np.float32)
-        # fixed-size chunks (tail padded) keep one compiled executable
+        # ALWAYS pad to the fixed chunk size: every distinct batch shape
+        # would otherwise compile its own 94-conv executable (1-6 min each
+        # on the tunneled host)
         for lo in range(0, n, self.chunk):
             count = min(self.chunk, n - lo)
             part = x[lo:lo + count]
-            if count < self.chunk and n > self.chunk:
+            if count < self.chunk:
                 part = np.concatenate(
                     [part,
                      np.zeros((self.chunk - count, *x.shape[1:]),

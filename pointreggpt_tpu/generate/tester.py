@@ -113,8 +113,9 @@ class Tester:
             print(f"loading from version {meta['version']}")
 
     # ------------------------------------------------------------------
-    # FID helpers (reference: Tester sdd:1915-1935). Feature extraction is
-    # gated host-torch (eval/fid.py); the Fréchet math is always available.
+    # FID helpers (reference: Tester sdd:1915-1935). Features run as a
+    # jitted XLA program on the default device (eval/inception.py); torch
+    # only loads a weight file. Fréchet math is always available.
     def compute_inception_features(self, samples01: np.ndarray) -> np.ndarray:
         """(n, h, w, 1|3) [0,1] images -> (n, 2048) activations (sdd:1915)."""
         from pointreggpt_tpu.eval.fid import InceptionFeatures
@@ -247,8 +248,9 @@ class Tester:
             b_idx += 1
 
         # all scenes x all samples in one grid (sdd:2088-2096)
-        _imsave(self.samples_folder / "overview.png",
-                np.concatenate(overview_rows, axis=0), "gray")
+        if overview_rows:
+            _imsave(self.samples_folder / "overview.png",
+                    np.concatenate(overview_rows, axis=0), "gray")
 
     # ------------------------------------------------------------------
     def generate(self, num_scenes: int, num_samples: int,
@@ -267,6 +269,15 @@ class Tester:
             depth, mask = G.points_to_depth(pts, mem_valid, intrinsic,
                                             image_size=(H, H))
             return depth, mask
+
+        @jax.jit
+        def save_downsample(mem_pts, mem_valid):
+            # one jitted program (not eager vmap: primitive-by-primitive
+            # dispatch costs ~28 ms each through the tunnel) for the final
+            # scene-{sid}.ply voxel-0.025 clouds (sdd:2225-2236)
+            return jax.vmap(
+                lambda p, v: P.voxel_downsample(p, v, 0.025))(
+                    mem_pts, mem_valid)
 
         @jax.jit
         def update_memory(mem_pts, mem_valid, images, pose, intrinsic):
@@ -354,9 +365,7 @@ class Tester:
             # final clouds: the reference contract `scene-{sid}.ply` at
             # voxel 0.025 (sdd:2225-2236) + the full-resolution memory as
             # a debug extra
-            save_pts, save_valid = jax.vmap(
-                lambda p, v: P.voxel_downsample(p, v, 0.025))(
-                    mem_pts, mem_valid)
+            save_pts, save_valid = save_downsample(mem_pts, mem_valid)
             save_np, savev_np = np.asarray(save_pts), np.asarray(save_valid)
             mem_np = np.asarray(mem_pts)
             memv_np = np.asarray(mem_valid)
@@ -374,5 +383,6 @@ class Tester:
             done += batch
             b_idx += 1
 
-        _imsave(self.samples_folder / "overview.png",
-                np.concatenate(overview_rows, axis=0), "plasma")
+        if overview_rows:
+            _imsave(self.samples_folder / "overview.png",
+                    np.concatenate(overview_rows, axis=0), "plasma")

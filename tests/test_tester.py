@@ -61,6 +61,13 @@ class TestTester:
         k = np.loadtxt(samples / "scene-0-camera-intrinsics.txt")
         assert k.shape == (3, 3) and k[2, 2] == 1.0
 
+    def test_zero_scenes_is_a_noop(self, tmp_path):
+        tester = make_tester(tmp_path)
+        tester.sample(num_scenes=0, num_samples=2)
+        tester.generate(num_scenes=0, num_samples=2,
+                        memory_capacity=2048)
+        assert not (tmp_path / "samples/overview.png").exists()
+
     def test_sample_uncondition_grid(self, tmp_path):
         tester = make_tester(tmp_path)
         images = tester.sample_uncondition(num_samples=4)
