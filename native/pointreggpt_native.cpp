@@ -60,8 +60,11 @@ int depth_preprocess(const uint16_t* raw, int h, int w, int out_size,
     if (sr >= h) sr = h - 1;
     const uint16_t* row = raw + (size_t)sr * w;
     for (int c = 0; c < out_size; ++c) {
-      int cc = flip ? (out_size - 1 - c) : c;
-      int sc = (int)((cc + left + 0.5) * sx);
+      // flip BEFORE the crop (reference transform order Resize ->
+      // RandomHorizontalFlip -> CenterCrop, sdd:1535-1542): output col c
+      // reads flipped-resized col left+c == resized col new_w-1-left-c
+      int rc = flip ? (new_w - 1 - left - c) : (left + c);
+      int sc = (int)((rc + 0.5) * sx);
       if (sc >= w) sc = w - 1;
       float v = row[sc] * 1e-4f;
       out[(size_t)r * out_size + c] = (v > 1.0f) ? 0.0f : v;
@@ -71,7 +74,8 @@ int depth_preprocess(const uint16_t* raw, int h, int w, int out_size,
 }
 
 // ---------------------------------------------------------------------------
-// Voxel-grid downsample (host fallback; Open3D semantics: floor((p - min)/v),
+// Voxel-grid downsample (host fallback; Open3D semantics:
+// floor((p - (min - v/2))/v) — VoxelDownSample's half-cell-shifted origin —
 // centroid per occupied voxel).  Returns the number of output points
 // (<= n); out must hold n*3 floats.
 int voxel_downsample(const float* pts, int64_t n, float voxel, float* out) {
@@ -89,6 +93,9 @@ int voxel_downsample(const float* pts, int64_t n, float voxel, float* out) {
   std::unordered_map<uint64_t, Acc> cells;
   cells.reserve((size_t)n);
   int64_t next_order = 0;
+  // Open3D convention: quantization origin is min_bound - voxel/2
+  // (VoxelDownSample's half-cell shift), matching core/pointops.py
+  for (int k = 0; k < 3; ++k) mn[k] -= 0.5f * voxel;
   for (int64_t i = 0; i < n; ++i) {
     uint64_t key = 0;
     for (int k = 0; k < 3; ++k) {

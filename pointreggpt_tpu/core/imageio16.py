@@ -48,6 +48,15 @@ def write_depth_png(path: Union[str, os.PathLike], depth01: np.ndarray) -> None:
     cv2.imwrite(os.fspath(path), depth_mm)
 
 
+def to_uint8_image(img01: np.ndarray) -> np.ndarray:
+    """[0,1] float image -> uint8 with torchvision ``save_image`` rounding
+    (``mul(255).add_(0.5).clamp_(0,255)``): round half up, so 0.5 writes
+    128 where plain truncation writes 127. Used for every 8-bit preview
+    PNG/GIF so pixels match the reference byte-for-byte."""
+    return np.clip(np.asarray(img01, np.float32) * 255.0 + 0.5,
+                   0.0, 255.0).astype(np.uint8)
+
+
 def resize_nearest_short_side(img: np.ndarray, size: int) -> np.ndarray:
     """Resize so the short side == size, NEAREST interpolation (PIL parity).
 
@@ -119,9 +128,13 @@ def load_depth_model_space(
     if raw is None:
         raw = read_depth_png(path, use_native=False)
     raw = resize_nearest_short_side(raw, image_size)
+    if flip:
+        # flip BEFORE the crop, like the reference transform order
+        # Resize -> RandomHorizontalFlip -> CenterCrop (sdd:1535-1542):
+        # at odd crop margins (640x480 -> width 341, margin 85) the two
+        # orders select columns one pixel apart
+        raw = raw[:, ::-1]
     raw = center_crop(raw, image_size)
     depth = raw.astype(np.float32) * 1e-4
     depth = np.where(depth > 1.0, 0.0, depth)
-    if flip:
-        depth = depth[:, ::-1].copy()
-    return depth
+    return np.ascontiguousarray(depth)

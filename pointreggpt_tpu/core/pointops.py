@@ -56,9 +56,13 @@ def voxel_downsample(
     """Voxel-grid downsample (mean of points per voxel), padded output.
 
     Open3D semantics (``voxel_down_sample``): voxel index is
-    ``floor((p - origin) / voxel)`` with origin the cloud's min bound, and
-    the output point is the centroid of each occupied voxel. Replaces the
-    Open3D calls at sdd:2148-2149, 2492-2493, 2676-2677, generate_gt.py:75-76.
+    ``floor((p - origin) / voxel)`` with origin = min_bound − voxel/2 (the
+    half-cell shift in Open3D's ``VoxelDownSample``: ``voxel_min_bound =
+    GetMinBound() - voxel_size * 0.5`` — so e.g. 1-D points
+    [0, .09, .11, .19] at voxel 0.1 group {0},{.09,.11},{.19}, NOT
+    {0,.09},{.11,.19}), and the output point is the centroid of each
+    occupied voxel. Replaces the Open3D calls at sdd:2148-2149, 2492-2493,
+    2676-2677, generate_gt.py:75-76.
 
     Strategy (all static shapes): quantize -> lexsort by (qx, qy, qz) with
     invalid points pushed to the tail -> mark segment starts -> segment-sum
@@ -68,8 +72,8 @@ def voxel_downsample(
         points: (n, 3).
         valid: (n,) bool.
         voxel_size: edge length in meters.
-        origin: optional (3,) quantization origin; defaults to the min bound
-            of the valid points (Open3D behavior).
+        origin: optional (3,) quantization origin; defaults to the valid
+            points' min bound minus half a voxel (Open3D behavior).
 
     Returns:
         out_points: (n, 3) centroids, padded with zeros.
@@ -80,7 +84,7 @@ def voxel_downsample(
 
     if origin is None:
         masked = jnp.where(valid[:, None], points, big)
-        origin = jnp.min(masked, axis=0)
+        origin = jnp.min(masked, axis=0) - 0.5 * voxel_size
     origin = jnp.asarray(origin, points.dtype)
 
     q = jnp.floor((points - origin[None, :]) / voxel_size).astype(jnp.int32)

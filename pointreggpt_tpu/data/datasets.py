@@ -33,6 +33,35 @@ from pointreggpt_tpu.core import imageio16
 from pointreggpt_tpu.core.geometry import intrinsic_transform
 
 
+def resolve_frame_record(data_root: str, folder: str, rel_path: str,
+                         image_size: int, *, with_pose: bool = False):
+    """Resolve a train_info/3DMatch ``.pth`` fragment record to its first
+    frame: ``(depth01, intrinsic)`` or ``(depth01, pose, intrinsic)``.
+
+    One shared implementation of the ``.pth -> .info.txt`` lookup, first-line
+    parse, ``frame-%06d.depth.png`` path, and intrinsic adjustment used by
+    both the Generator (sdd:2426-2459) and TestDataset (dc:990-1012), so the
+    two pipelines cannot silently diverge.
+    """
+    info_path = os.path.join(data_root, rel_path.replace(".pth", ".info.txt"))
+    with open(info_path, "r") as f:
+        first = f.readlines()[0].strip()
+    scene_name, seq_name, frame_start_idx, _ = first.split()
+    scene_path = os.path.join(folder, scene_name)
+    frame_path = os.path.join(
+        scene_path, seq_name,
+        "frame-{:0>6d}.depth.png".format(int(frame_start_idx)))
+    image = imageio16.load_depth_model_space(frame_path, image_size)
+    intrinsic = intrinsic_transform(
+        np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
+        resize=image_size, centercrop=image_size,
+    ).astype(np.float32)
+    if with_pose:
+        pose = np.loadtxt(frame_path.replace("depth.png", "pose.txt"))
+        return image, pose, intrinsic
+    return image, intrinsic
+
+
 class DepthDataset:
     """Diffusion training set: single depth frames + intrinsics.
 
@@ -152,22 +181,8 @@ class TestDataset:
         return len(self.info["src"]) + len(self.info["tgt"])
 
     def _frame_record(self, rel_path: str):
-        info_path = os.path.join(self.data_root,
-                                 rel_path.replace(".pth", ".info.txt"))
-        with open(info_path, "r") as f:
-            first = f.readlines()[0].strip()
-        scene_name, seq_name, frame_start_idx, _ = first.split()
-        scene_path = os.path.join(self.folder, scene_name)
-        frame_path = os.path.join(
-            scene_path, seq_name,
-            "frame-{:0>6d}.depth.png".format(int(frame_start_idx)))
-        image = imageio16.load_depth_model_space(frame_path, self.image_size)
-        pose = np.loadtxt(frame_path.replace("depth.png", "pose.txt"))
-        intrinsic = intrinsic_transform(
-            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
-            resize=self.image_size, centercrop=self.image_size,
-        ).astype(np.float32)
-        return image, pose, intrinsic
+        return resolve_frame_record(self.data_root, self.folder, rel_path,
+                                    self.image_size, with_pose=True)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
@@ -273,6 +288,7 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def producer():
             # item decodes fan out over a thread pool (PNG decode is the
@@ -288,6 +304,12 @@ class PrefetchLoader:
                     for batch_idx in self._index_batches():
                         items = [self.dataset[i] for i in batch_idx]
                         q.put(collate(items))
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                # surface decode failures in the CONSUMER (like torch
+                # DataLoader workers): swallowing them here would end a
+                # finite pass early on a truncated dataset, or turn an
+                # IOError into a bare StopIteration in the train loop
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -296,5 +318,7 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 return
             yield item

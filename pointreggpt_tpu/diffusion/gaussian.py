@@ -89,8 +89,14 @@ class GaussianDiffusion:
                                      self.ddnm_dropout_schedule))
         object.__setattr__(self, "_denoise_dropouts",
                            sched.denoise_dropout_table(self.timesteps))
-        s = self.sampling_timesteps or self.timesteps
-        assert s <= self.timesteps
+        # `is None`, not falsy: sampling_timesteps=0 must not silently
+        # become a full-T ancestral chain (the reference's S=0 "runs" an
+        # empty DDIM loop and returns pure noise — a degenerate config
+        # that deserves an error, not either silent behavior)
+        s = (self.timesteps if self.sampling_timesteps is None
+             else self.sampling_timesteps)
+        assert 1 <= s <= self.timesteps, (
+            f"sampling_timesteps must be in [1, {self.timesteps}], got {s}")
         object.__setattr__(self, "_num_sampling_timesteps", int(s))
 
     # -- static properties -------------------------------------------------
@@ -199,12 +205,17 @@ class GaussianDiffusion:
             x_start = clip(self.predict_start_from_v(x, t, model_output))
             pred_noise = self.predict_noise_from_start(x, t, x_start)
 
-        if img_cond is not None and (
-            (self.is_ddnm_sampling and not is_ban_ddnm) or is_denoise):
+        # branch precedence matches the reference (sdd:1210-1227): the
+        # DDNM branch (ddnm_dropouts) wins over is_denoise — with the
+        # production config (is_ddnm_sampling=True, dropout 0) denoise()
+        # pins masked pixels at EVERY step; the steeply-decaying
+        # denoise_dropouts table applies only when DDNM is off/banned
+        use_ddnm = self.is_ddnm_sampling and not is_ban_ddnm
+        if img_cond is not None and (use_ddnm or is_denoise):
             img_rpj = img_cond[..., 0:1]
             mask_rpj = mask_from_image_condition(img_cond)[..., None]
-            dropout_table = (self._denoise_dropouts
-                             if is_denoise else self._ddnm_dropouts)
+            dropout_table = (self._ddnm_dropouts
+                             if use_ddnm else self._denoise_dropouts)
             p_drop = jnp.asarray(dropout_table)[t[0]]
             if key is not None:
                 keep = jax.random.uniform(key, mask_rpj.shape) > p_drop
@@ -296,10 +307,11 @@ class GaussianDiffusion:
     def p_sample_loop(self, params, key: Array, param_cond: Array,
                       img_cond: Optional[Array], shape,
                       *, has_refine_step: bool = False,
-                      is_denoise: bool = False) -> Array:
+                      is_denoise: bool = False,
+                      x_init: Optional[Array] = None) -> Array:
         """Full-T ancestral sampling as one lax.scan (sdd:1283-1317)."""
         k_init, k_scan, k_refine = jax.random.split(key, 3)
-        img = jax.random.normal(k_init, shape)
+        img = jax.random.normal(k_init, shape) if x_init is None else x_init
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         keys = jax.random.split(k_scan, self.num_timesteps)
@@ -395,7 +407,8 @@ class GaussianDiffusion:
                                     has_refine_step=has_refine_step,
                                     x_init=x_init)
         return self.p_sample_loop(params, key, param_cond, img_cond, shape,
-                                  has_refine_step=has_refine_step)
+                                  has_refine_step=has_refine_step,
+                                  x_init=x_init)
 
     def denoise(self, params, key: Array, *, param_cond: Array,
                 img_cond: Optional[Array] = None,

@@ -43,7 +43,6 @@ from pointreggpt_tpu.train import checkpoint as ckpt
 
 BBOX_MIN = (-1.5, -1.5, 0.5)
 BBOX_MAX = (1.5, 1.5, 3.5)
-TRAIN_POOL = 20642  # reference pair-pool size (sdd:2397)
 
 
 def _voxel_downsample_host(pts_np: np.ndarray, voxel: float) -> np.ndarray:
@@ -209,23 +208,12 @@ class Generator:
 
     # ------------------------------------------------------------------
     def _read_scene_record(self, rel_path: str):
-        """Resolve a train_info fragment record to (depth01, intrinsic)."""
-        info_path = os.path.join(self.data_root,
-                                 rel_path.replace(".pth", ".info.txt"))
-        with open(info_path, "r") as f:
-            first = f.readlines()[0].strip()
-        scene_name, seq_name, frame_start_idx, _ = first.split()
-        scene_path = os.path.join(self.folder, scene_name)
-        intrinsic = G.intrinsic_transform(
-            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
-            resize=self.image_size, centercrop=self.image_size,
-        ).astype(np.float32)
-        frame_path = os.path.join(
-            scene_path, seq_name,
-            "frame-{:0>6d}.depth.png".format(int(frame_start_idx)))
-        depth01 = imageio16.load_depth_model_space(frame_path,
-                                                   self.image_size)
-        return depth01, intrinsic
+        """Resolve a train_info fragment record to (depth01, intrinsic) —
+        the shared resolver (data/datasets.py) also backs TestDataset."""
+        from pointreggpt_tpu.data.datasets import resolve_frame_record
+
+        return resolve_frame_record(self.data_root, self.folder, rel_path,
+                                    self.image_size)
 
     def _scene_source(self, info_train: Dict, abs_scene_idx: int):
         """src/tgt swap by scene index (sdd:2396-2410)."""
@@ -330,9 +318,8 @@ class Generator:
 
                 # save the real frame image (sample 0)
                 from PIL import Image
-                Image.fromarray(
-                    (np.clip(depth01, 0, 1) * 255).astype(np.uint8)).save(
-                        scene_dir / "sample-000000.image.png")
+                Image.fromarray(imageio16.to_uint8_image(depth01)).save(
+                    scene_dir / "sample-000000.image.png")
 
                 pc = G.point_cloud_np(depth01 * 10.0, intr, clip=(0.5, 10.0))
                 inside = np.all((pc >= BBOX_MIN) & (pc <= BBOX_MAX), axis=-1)
@@ -413,16 +400,15 @@ class Generator:
             # debug snapshots: pre-correction splat (sdd:2554-2560)
             # and post-correction condition (sdd:2597-2602)
             from PIL import Image
-            Image.fromarray((np.clip(images_raw_np[i], 0, 1) *
-                             255).astype(np.uint8)).save(
-                                 scene_dir / "reprojected.image.png")
-            Image.fromarray((np.clip(images_rpj_np[i], 0, 1) *
-                             255).astype(np.uint8)).save(
-                                 scene_dir / "corrected.image.png")
+            Image.fromarray(imageio16.to_uint8_image(
+                images_raw_np[i])).save(
+                    scene_dir / "reprojected.image.png")
+            Image.fromarray(imageio16.to_uint8_image(
+                images_rpj_np[i])).save(
+                    scene_dir / "corrected.image.png")
             img01 = images_np[i, ..., 0]
-            Image.fromarray(
-                (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
-                    scene_dir / f"sample-{out_idx:0>6d}.image.png")
+            Image.fromarray(imageio16.to_uint8_image(img01)).save(
+                scene_dir / f"sample-{out_idx:0>6d}.image.png")
             imageio16.write_depth_png(
                 scene_dir / f"sample-{out_idx:0>6d}.depth.png", img01)
 

@@ -312,7 +312,9 @@ class MaskTester:
             corrected = np.where(keep, item["input_img"], 0.0)
 
             def to_u8(img):
-                return (np.clip(img[..., 0], 0, 1) * 255).astype(np.uint8)
+                from pointreggpt_tpu.core import imageio16
+
+                return imageio16.to_uint8_image(img[..., 0])
 
             frames_in = [to_u8(item["input_img"]), to_u8(item["label_img"])]
             frames_out = [to_u8(corrected), to_u8(item["label_img"])]

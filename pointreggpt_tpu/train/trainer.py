@@ -57,7 +57,9 @@ def save_image_grid(images01: np.ndarray, path, nrow: int) -> None:
     for i in range(n):
         r, c = divmod(i, ncol)
         grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = images01[i]
-    img = Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8))
+    from pointreggpt_tpu.core import imageio16
+
+    img = Image.fromarray(imageio16.to_uint8_image(grid))
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     img.save(path)
 

@@ -226,6 +226,30 @@ class TestSampling:
         assert out.shape == (1, 8, 8, 1)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_denoise_ddnm_branch_takes_precedence(self):
+        """Reference sdd:1210-1227: the DDNM branch outranks is_denoise.
+        Production config (is_ddnm_sampling=True, dropout 0): denoise()
+        pins masked pixels to the conditioning at EVERY step, so the
+        output equals the condition inside the mask. With DDNM off, the
+        steep denoise_dropouts table (==1.0 at t=0) drops the mask at the
+        chain end and the pinning is lost. Uses the full-T ancestral chain
+        — a DDIM subsequence's final step is t>0 where the denoise table
+        is already ~0, so the two branches coincide there."""
+        cond01 = jnp.stack(
+            [jnp.full((1, 8, 8), 0.5), jnp.ones((1, 8, 8))], axis=-1)
+        cond = normalize_to_neg_one_to_one(cond01)
+        kw = dict(param_cond=jnp.zeros((1, 4)), img_cond=cond)
+
+        d_on = _dummy_diffusion(timesteps=10)
+        out = np.asarray(d_on.denoise({"x0": 0.3}, jax.random.PRNGKey(6),
+                                      **kw))
+        np.testing.assert_allclose(out[..., 0], 0.5, atol=1e-5)
+
+        d_off = _dummy_diffusion(timesteps=10, is_ddnm_sampling=False)
+        out2 = np.asarray(d_off.denoise({"x0": 0.3}, jax.random.PRNGKey(6),
+                                        **kw))
+        assert np.abs(out2[..., 0] - 0.5).max() > 0.01
+
 
 class TestTrainingLoss:
     def test_loss_zero_for_oracle(self):

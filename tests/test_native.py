@@ -23,11 +23,21 @@ class TestDepthPreprocess:
         # identical pixel selection + scaling
         np.testing.assert_allclose(got, ref, atol=1e-7)
 
-    def test_flip(self):
+    def test_flip_matches_reference_transform_order(self):
+        """Flip applies BETWEEN resize and crop (reference order Resize ->
+        RandomHorizontalFlip -> CenterCrop, sdd:1535-1542). 480x640 -> 64
+        gives width 85, crop margin 21 (odd): the result is NOT the mirror
+        of the unflipped crop — it is the crop of the mirrored image."""
         raw = np.arange(480 * 640, dtype=np.uint16).reshape(480, 640) % 9999
-        a = native.depth_preprocess(raw, 64, flip=False)
         b = native.depth_preprocess(raw, 64, flip=True)
-        np.testing.assert_allclose(a, b[:, ::-1])
+        resized = imageio16.resize_nearest_short_side(raw, 64)
+        ref = imageio16.center_crop(
+            resized[:, ::-1], 64).astype(np.float32) * 1e-4
+        ref = np.where(ref > 1.0, 0.0, ref)
+        np.testing.assert_allclose(b, ref, atol=1e-7)
+        # odd margin: flip-then-crop differs from crop-then-flip by one col
+        a = native.depth_preprocess(raw, 64, flip=False)
+        assert not np.array_equal(a, b[:, ::-1])
 
     def test_clip(self):
         raw = np.full((480, 640), 60000, np.uint16)  # 6.0 > 1 -> 0

@@ -29,6 +29,20 @@ class TestVoxelDownsample:
         np.testing.assert_allclose(got[0], [0.015, 0.015, 0.015], atol=1e-6)
         np.testing.assert_allclose(got[1], [0.55, 0.55, 0.55], atol=1e-6)
 
+    def test_open3d_half_cell_origin(self):
+        """Open3D's VoxelDownSample quantizes from min_bound - voxel/2:
+        1-D points [0, .09, .11, .19] at voxel 0.1 group
+        {0},{.09,.11},{.19} (origin -0.05) — NOT {0,.09},{.11,.19} as a
+        plain min-bound origin would."""
+        pts = np.array([[0.0, 0, 0], [0.09, 0, 0], [0.11, 0, 0],
+                        [0.19, 0, 0]], np.float32)
+        p, v = pad_cloud(pts, 8)
+        out, out_v = P.voxel_downsample(p, v, 0.1)
+        out, out_v = np.asarray(out), np.asarray(out_v)
+        assert out_v.sum() == 3
+        got = sorted(x[0] for x in out[out_v].tolist())
+        np.testing.assert_allclose(got, [0.0, 0.10, 0.19], atol=1e-6)
+
     def test_valid_entries_lead(self):
         rng = np.random.default_rng(0)
         pts = rng.uniform(0, 1, (50, 3)).astype(np.float32)

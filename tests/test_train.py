@@ -234,6 +234,31 @@ class TestMaskTester:
         assert (tmp_path / "samples/000000-output.gif").exists()
 
 
+class TestPrefetchLoaderErrors:
+    def test_producer_exception_reraises_in_consumer(self, tmp_path):
+        """A decode failure must surface where the loop consumes batches
+        (torch-DataLoader semantics), not silently end the iteration with
+        a truncated dataset."""
+        import pytest
+
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        class Broken:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise IOError("corrupt frame")
+                return {"x": np.zeros((2, 2), np.float32)}
+
+        loader = PrefetchLoader(Broken(), batch_size=2, shuffle=False,
+                                num_workers=2)
+        with pytest.raises(IOError, match="corrupt frame"):
+            for _ in loader:
+                pass
+
+
 class TestDeterministicInputPipeline:
     """VERDICT r1 weak #3: h-flip must be a pure function of
     (seed, epoch, index), making training batches run-to-run reproducible."""
