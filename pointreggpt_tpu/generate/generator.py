@@ -38,6 +38,7 @@ from pointreggpt_tpu.core import imageio16, plyio
 from pointreggpt_tpu.core import pointops as P
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import bake
 from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 
@@ -262,9 +263,15 @@ class Generator:
         def device_params():
             nonlocal ema_params, dc_params
             if ema_params is None:
-                ema_params = M.replicate(self.mesh, self.ema_params)
+                ema_params = M.replicate(
+                    self.mesh, bake.maybe_bake(self.ema_params,
+                                               self.model.dtype))
                 if self.dc_params is not None:
-                    dc_params = M.replicate(self.mesh, self.dc_params)
+                    dc_params = M.replicate(
+                        self.mesh,
+                        bake.maybe_bake(
+                            self.dc_params,
+                            self.depth_correction_model.dtype))
             return ema_params, dc_params
 
         # fold the process index so multi-host shards draw distinct poses

@@ -27,6 +27,7 @@ from pointreggpt_tpu.core import plyio
 from pointreggpt_tpu.core import pointops as P
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import bake
 from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 
@@ -107,8 +108,12 @@ class Tester:
             self.results_folder / f"model-{milestone}.ckpt",
             {"params": target_params,
              "ema": {"params": target_params, "step": 0, "initted": False}})
-        # params replicated on every local chip (mesh-DP)
-        self.ema_params = M.replicate(self.mesh, state["ema"]["params"])
+        # params replicated on every local chip (mesh-DP), baked for
+        # inference (pre-standardized WSConv kernels + bf16 weight copies;
+        # bit-identical, models/bake.py)
+        self.ema_params = M.replicate(
+            self.mesh, bake.maybe_bake(state["ema"]["params"],
+                                       self.model.dtype))
         if meta.get("version"):
             print(f"loading from version {meta['version']}")
 

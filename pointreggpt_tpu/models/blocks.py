@@ -36,6 +36,11 @@ class WSConv(nn.Module):
     Kernel is standardized over (kh, kw, in) per output channel before the
     conv; pairs with GroupNorm in ``Block``. Reference:
     WeightStandardizedConv2d sdd:601-616.
+
+    A non-fp32 kernel is already baked (pre-standardized + pre-cast by
+    :func:`pointreggpt_tpu.models.bake.bake_inference_params`), so
+    standardization is skipped — training params are always fp32, so the
+    gate never changes training behavior.
     """
 
     features: int
@@ -55,10 +60,11 @@ class WSConv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        eps = _ws_eps(self.dtype)
-        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
-        kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        if kernel.dtype == jnp.float32:
+            eps = _ws_eps(self.dtype)
+            mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+            kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

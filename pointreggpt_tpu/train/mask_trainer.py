@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from pointreggpt_tpu.data import PairedDepthDataset, PrefetchLoader, TestDataset
+from pointreggpt_tpu.models import bake
 from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 from pointreggpt_tpu.train.metrics import AverageMeter, Logger, mask_metrics
@@ -296,7 +297,8 @@ class MaskTester:
             self.results_folder / f"model-{milestone}.ckpt",
             {"epoch": 0, "params": jax.tree_util.tree_map(
                 np.asarray, params_target)})
-        self.params = state["params"]
+        # baked for inference (bit-identical, models/bake.py)
+        self.params = bake.maybe_bake(state["params"], self.model.dtype)
 
     def test(self, *, limit: Optional[int] = None) -> None:
         import imageio

@@ -201,3 +201,89 @@ class TestNormDtypePlumbing:
         assert len(resblocks) == 2 * 2 + 2 + 2 * 2 + 1  # down/mid/up/final
         bad = {k: v for k, v in seen.items() if v is not jnp.bfloat16}
         assert not bad, f"ResBlocks missing norm_dtype: {bad}"
+
+
+class TestBakeInferenceParams:
+    """bake.bake_inference_params must be a bit-identical inference rewrite."""
+
+    def _assert_bitwise(self, model, params, baked, *args):
+        ya = model.apply(params, *args)
+        yb = model.apply(baked, *args)
+        assert ya.dtype == yb.dtype
+        assert jnp.array_equal(ya, yb), \
+            float(jnp.abs(ya.astype(jnp.float32) -
+                          yb.astype(jnp.float32)).max())
+
+    def test_diffusion_unet_bf16_bitwise(self):
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+        t = jnp.array([17.0, 903.0])
+        p = jnp.ones((2, 4)) * 250
+        params = model.init(jax.random.PRNGKey(0), x, t, p)
+        baked = bake_inference_params(params, jnp.bfloat16)
+        self._assert_bitwise(model, params, baked, x, t, p)
+
+    def test_mask_unet_bf16_bitwise(self):
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        model = MaskUNet(dim=8, dim_mults=(1, 2), dtype=jnp.bfloat16)
+        x = jnp.clip(
+            jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1)), 0, 1)
+        params = model.init(jax.random.PRNGKey(3), x)
+        baked = bake_inference_params(params, jnp.bfloat16)
+        self._assert_bitwise(model, params, baked, x)
+
+    def test_baked_tree_dtypes(self):
+        """Kernels go bf16 except the fp32-consumed ones; the rest is
+        untouched (biases/norm scales/embeddings are consumed in fp32)."""
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 16, 16, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        baked = bake_inference_params(params, jnp.bfloat16)
+        flat = jax.tree_util.tree_flatten_with_path(baked)[0]
+        n_bf16 = n_fp32_kernel = 0
+        for path, leaf in flat:
+            keys = tuple(getattr(k, "key", str(k)) for k in path)
+            if keys[-1] == "kernel":
+                keep_fp32 = (keys[-2] == "final_conv" or
+                             (keys[-2] == "conv" and "upsample" in keys[-3]))
+                assert leaf.dtype == (
+                    jnp.float32 if keep_fp32 else jnp.bfloat16), keys
+                n_bf16 += leaf.dtype == jnp.bfloat16
+                n_fp32_kernel += leaf.dtype == jnp.float32
+            else:
+                assert leaf.dtype == jnp.float32, keys
+        assert n_bf16 > 10  # convs + attention + MLPs actually baked
+        assert n_fp32_kernel >= 2  # final_conv + at least one upsample
+
+    def test_wsconv_kernels_standardized(self):
+        """A baked proj kernel equals fp32-standardize -> bf16-cast."""
+        from pointreggpt_tpu.models.bake import bake_inference_params
+        from pointreggpt_tpu.models.blocks import _ws_eps
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 16, 16, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        raw = params["params"]["mid_block1"]["block1"]["proj"]["kernel"]
+        baked = bake_inference_params(params, jnp.bfloat16)
+        got = baked["params"]["mid_block1"]["block1"]["proj"]["kernel"]
+        mean = jnp.mean(raw, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(raw, axis=(0, 1, 2), keepdims=True)
+        want = ((raw - mean) * jax.lax.rsqrt(var + _ws_eps(jnp.bfloat16))
+                ).astype(jnp.bfloat16)
+        assert jnp.array_equal(got, want)
+
+    def test_fp32_bake_rejected(self):
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        with pytest.raises(ValueError):
+            bake_inference_params({}, jnp.float32)
