@@ -42,10 +42,12 @@ def maybe_bake(params: Any, dtype: Any) -> Any:
 
     The gate inference drivers use: bake exactly when the model computes in
     a low-precision dtype (where baking is bit-identical AND saves work).
+    Runs as one jitted program (eager op-by-op dispatch would cost a
+    round-trip per param leaf through the TPU tunnel).
     """
     if dtype == jnp.float32:
         return params
-    return bake_inference_params(params, dtype)
+    return _bake_jit(params, dtype)
 
 
 def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
@@ -93,3 +95,5 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
         return out
 
     return walk(params, ())
+
+_bake_jit = jax.jit(bake_inference_params, static_argnums=1)

@@ -27,6 +27,7 @@ from pointreggpt_tpu.core import geometry as G
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.data import DepthDataset, PrefetchLoader
 from pointreggpt_tpu.diffusion import GaussianDiffusion
+from pointreggpt_tpu.models import bake
 from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 from pointreggpt_tpu.train import ema as ema_lib
@@ -292,7 +293,10 @@ class Trainer:
             resize=self.image_size, centercrop=self.image_size,
         ).astype(np.float32)
         param_cond = G.param_vector(jnp.asarray(intrinsic))
-        images = self._sample_fn(self.state.ema.params, k2, param_cond)
+        # baked for the sampling chain only (bit-identical, models/bake.py);
+        # the live fp32 EMA tree in self.state is untouched
+        ema_params = bake.maybe_bake(self.state.ema.params, self.model.dtype)
+        images = self._sample_fn(ema_params, k2, param_cond)
         return np.asarray(images)
 
     # ------------------------------------------------------------------
