@@ -65,11 +65,17 @@ def main():
         objective="pred_x0", beta_schedule="sigmoid", ddim_sampling_eta=1.0,
         is_ddnm_sampling=True)
 
+    from pointreggpt_tpu.models import maybe_bake
+
     key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((1, image_size, image_size, 1)),
                         jnp.zeros((1,)), jnp.zeros((1, 4)))
     dc_params = dc_model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, image_size, image_size, 1)))
+    # the production path (Generator.generate -> device_params) bakes
+    # inference params (models/bake.py); the bench measures the same program
+    params = jax.block_until_ready(maybe_bake(params, model.dtype))
+    dc_params = jax.block_until_ready(maybe_bake(dc_params, dc_model.dtype))
 
     gen = Generator(model, diffusion, folder=".",
                     batch_size=batch, memory_capacity=memory_capacity,
