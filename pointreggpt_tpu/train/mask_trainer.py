@@ -157,10 +157,19 @@ class MaskTrainer:
     def train_one_epoch(self) -> float:
         meter = AverageMeter()
         t0 = time.time()
+        # losses stay on device inside the loop: float(loss) per step is a
+        # host sync that serializes the next batch's host->device upload
+        # behind the step's compute (same pattern measured 45 -> 77 img/s
+        # in the diffusion Trainer on a tunneled chip); ONE stacked
+        # transfer at epoch end reads them all
+        losses = []
         for batch in self.loader:
             sharded = M.shard_batch(self.mesh, batch)
             self.state, loss = self._train_step(self.state, sharded)
-            meter.update(float(loss))
+            losses.append(loss)
+        if losses:
+            for v in np.asarray(jnp.stack(losses)):
+                meter.update(float(v))
         epoch = int(self.state.epoch)
         self.logger.info(
             f"Epoch {epoch + 1}/{self.epochs} loss {float(meter):.4e} "
@@ -172,6 +181,7 @@ class MaskTrainer:
         if not M.is_main_process():
             return
         meters = {}
+        outs = []
         vb = self.val_batch_size
         val_loader = PrefetchLoader(self.val_ds, vb, shuffle=False,
                                     drop_last=False, num_workers=1)
@@ -187,10 +197,16 @@ class MaskTrainer:
                 }
             out = self._eval_step(self.state.params,
                                   M.shard_batch(self.mesh, batch))
-            for k, v in out.items():
-                vals = np.asarray(v)[:n_real]
-                meters.setdefault(k, AverageMeter()).update(
-                    float(vals.mean()), num=n_real)
+            # defer the device->host reads: syncing per batch serializes
+            # the next batch's upload behind this batch's forward (see
+            # train_one_epoch); metrics transfer once, stacked, at the end
+            outs.append((out, n_real))
+        for k in outs[0][0] if outs else ():
+            stacked = np.asarray(jnp.stack([o[k] for o, _ in outs]))
+            m = AverageMeter()
+            for row, (_, n_real) in zip(stacked, outs):
+                m.update(float(row[:n_real].mean()), num=n_real)
+            meters[k] = m
         self.metrics["current"] = meters
         if meters:
             self.logger.info(
