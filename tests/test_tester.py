@@ -139,3 +139,37 @@ class TestTesterFid:
 
         mu, sigma = tester.calculate_activation_statistics(feats)
         assert mu.shape == (8,) and sigma.shape == (8, 8)
+
+
+class TestTesterBakedLoad:
+    def test_load_bakes_bf16_model_params(self, tmp_path):
+        """Tester.load must hand the sample fns baked inference params for
+        low-precision models (models/bake.py): proj kernels bf16 +
+        pre-standardized, fp32-consumed kernels untouched."""
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=16, timesteps=8, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=1.0)
+        tester = SceneTester(model, diffusion, batch_size=1,
+                             results_folder=str(tmp_path / "results"),
+                             samples_folder=str(tmp_path / "samples"))
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+        tester.load(1)
+        tree = tester.ema_params["params"]
+        assert tree["mid_block1"]["block1"]["proj"]["kernel"].dtype == \
+            jnp.bfloat16
+        assert tree["final_conv"]["kernel"].dtype == jnp.float32
+
+    def test_load_keeps_fp32_model_params(self, tmp_path):
+        tester = make_tester(tmp_path)  # fp32 model
+        tree = tester.ema_params["params"]
+        assert tree["mid_block1"]["block1"]["proj"]["kernel"].dtype == \
+            jnp.float32
