@@ -46,6 +46,38 @@ def gaussian_sample_translation(rng: np.random.Generator,
     return rng.standard_normal(3) * factor
 
 
+def random_sample_rotation(rng: np.random.Generator,
+                           rotation_factor: float = 1.0) -> np.ndarray:
+    """Scaled-Euler random rotation.
+
+    The augmentation rotation both host repos use: GeoTransformer's
+    ``utils.pointcloud.random_sample_rotation`` (imported by
+    geotrans/dataset.py:13, called at :126) and the inline ``euler_ab``
+    in predator/mixture.py:127-128 are the same
+    ``Rotation.from_euler("zyx", rand(3) * 2pi / factor)`` draw.
+    """
+    euler = rng.random(3) * 2.0 * np.pi / rotation_factor
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_euler("zyx", euler).as_matrix()
+
+
+def random_sample_rotation_v2(rng: np.random.Generator) -> np.ndarray:
+    """Random axis-angle-as-Euler rotation (GeoTransformer's
+    ``random_sample_rotation_v2``, imported by geotrans/dataset.py:14 and
+    used by its ``rotated`` mode :216-224; the helper lives in the host
+    repo — reproduced from GeoTransformer's public utils: a random axis
+    scaled by a random angle in [0, pi), interpreted as zyx Euler angles).
+    """
+    axis = rng.random(3) - 0.5
+    # the host util adds the epsilon AFTER normalizing; kept verbatim
+    axis = axis / np.linalg.norm(axis) + 1e-8
+    theta = np.pi * rng.random()
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_euler("zyx", axis * theta).as_matrix()
+
+
 def load_point_cloud(file_path: str) -> np.ndarray:
     """PLY / .bin / .pth cloud loader (mixture.py:85-99)."""
     if file_path.endswith(".ply"):
@@ -86,9 +118,15 @@ class MixtureDataset:
     "trans": [...]}; generated pairs are appended from ``extra_root`` and
     posed with fresh Haar-uniform rotations at fetch time.
 
-    Returns per item:
-        (src_pcd, tgt_pcd, src_feats, tgt_feats, rot, trans, correspondences)
-    with correspondences as an (k, 2) int array at ``overlap_radius``.
+    Returns per item (the host repos' exact 10-tuple contract,
+    mixture.py:152 — the augmented clouds repeated as the "raw" slots and a
+    unit sample weight, ``np.ones(1)`` standing in for ``torch.ones(1)``):
+        (src_pcd, tgt_pcd, src_feats, tgt_feats, rot, trans,
+         correspondences, src_pcd, tgt_pcd, sample_weight)
+    with correspondences as a (k, 2) int [src_idx, tgt_idx] array at
+    ``overlap_radius`` (the Predator/CoFiNet ``get_correspondences`` column
+    order). Clouds are float32 (the reference leaves Open3D's float64;
+    both host repos cast downstream).
     """
 
     def __init__(self,
@@ -146,10 +184,7 @@ class MixtureDataset:
         if self.data_augmentation:
             # one-sided random euler rotation + uniform noise
             # (mixture.py:125-140)
-            euler = self.rng.random(3) * 2 * np.pi / self.rot_factor
-            from scipy.spatial.transform import Rotation
-
-            rot_ab = Rotation.from_euler("zyx", euler).as_matrix()
+            rot_ab = random_sample_rotation(self.rng, self.rot_factor)
             if self.rng.random() > 0.5:
                 src_pcd = (rot_ab @ src_pcd.T).T
                 rot = rot @ rot_ab.T
@@ -171,9 +206,12 @@ class MixtureDataset:
 
         src_feats = np.ones((src_pcd.shape[0], 1), np.float32)
         tgt_feats = np.ones((tgt_pcd.shape[0], 1), np.float32)
-        return (src_pcd.astype(np.float32), tgt_pcd.astype(np.float32),
-                src_feats, tgt_feats, rot.astype(np.float32),
-                trans_col.astype(np.float32), correspondences)
+        src_out = src_pcd.astype(np.float32)
+        tgt_out = tgt_pcd.astype(np.float32)
+        return (src_out, tgt_out, src_feats, tgt_feats,
+                rot.astype(np.float32), trans_col.astype(np.float32),
+                correspondences, src_out, tgt_out,
+                np.ones(1, np.float32))
 
 
 class MixturePairDataset:
@@ -193,14 +231,18 @@ class MixturePairDataset:
                  point_limit: Optional[int] = None,
                  use_augmentation: bool = False,
                  augmentation_noise: float = 0.005,
+                 augmentation_rotation: float = 1.0,
                  overlap_threshold: Optional[float] = None,
                  return_corr_indices: bool = False,
                  matching_radius: Optional[float] = None,
+                 rotated: bool = False,
                  seed: Optional[int] = None):
         self.dataset_root = dataset_root
         self.point_limit = point_limit
         self.use_augmentation = use_augmentation
         self.aug_noise = augmentation_noise
+        self.aug_rotation = augmentation_rotation
+        self.rotated = rotated
         self.return_corr_indices = return_corr_indices
         self.matching_radius = matching_radius
         if return_corr_indices and matching_radius is None:
@@ -271,10 +313,11 @@ class MixturePairDataset:
         hi = center + size / 2
 
         def crop(points):
-            # rotate about the center with a fresh random rotation, test
-            # the axis-aligned cube, keep the ORIGINAL points (the cube is
+            # rotate about the center with a fresh random rotation
+            # (dataset.py:163,174 draw random_sample_rotation()), test the
+            # axis-aligned cube, keep the ORIGINAL points (the cube is
             # effectively randomly oriented)
-            rot = uniform_sample_rotation(self.rng)
+            rot = random_sample_rotation(self.rng)
             tmp = (points - center) @ rot.T + center
             mask = np.all((tmp > lo) & (tmp < hi), axis=1)
             return points[mask]
@@ -290,8 +333,8 @@ class MixturePairDataset:
                                  np.float64)
 
         if self.use_augmentation:
-            # random rotation to one side + noise (dataset.py:117-140)
-            aug_rot = uniform_sample_rotation(self.rng)
+            # scaled-Euler rotation to one side + noise (dataset.py:117-140)
+            aug_rot = random_sample_rotation(self.rng, self.aug_rotation)
             if self.rng.random() > 0.5:
                 ref_points = ref_points @ aug_rot.T
                 rotation = aug_rot @ rotation
@@ -303,6 +346,16 @@ class MixturePairDataset:
                 self.aug_noise
             src_points += (self.rng.random(src_points.shape) - 0.5) * \
                 self.aug_noise
+
+        if self.rotated:
+            # independent whole-cloud rotations (dataset.py:216-224)
+            ref_rot = random_sample_rotation_v2(self.rng)
+            ref_points = ref_points @ ref_rot.T
+            rotation = ref_rot @ rotation
+            translation = ref_rot @ translation
+            src_rot = random_sample_rotation_v2(self.rng)
+            src_points = src_points @ src_rot.T
+            rotation = rotation @ src_rot.T
 
         transform = np.eye(4)
         transform[:3, :3] = rotation
@@ -321,6 +374,11 @@ class MixturePairDataset:
             "index": index,
         }
         if self.return_corr_indices:
+            # GeoTransformer's get_correspondences returns (ref_idx,
+            # src_idx) columns (ref enumerated first); ours yields
+            # [src_idx, ref_idx] — same pair set, flip the columns (row
+            # order differs, downstream treats it as a set)
             data_dict["corr_indices"] = correspondences_np(
-                src_points, ref_points, transform, self.matching_radius)
+                src_points, ref_points, transform,
+                self.matching_radius)[:, ::-1]
         return data_dict

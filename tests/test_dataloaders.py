@@ -48,7 +48,13 @@ class TestMixtureDataset:
                             overlap_radius=0.05, data_augmentation=False,
                             seed=0)
         assert len(ds) == 1
-        src, tgt, sf, tf, rot, trans, corr = ds[0]
+        item = ds[0]
+        # the host repos' exact 10-tuple contract (mixture.py:152)
+        assert len(item) == 10
+        (src, tgt, sf, tf, rot, trans, corr,
+         src_raw, tgt_raw, sample_w) = item
+        assert src_raw is src and tgt_raw is tgt
+        assert sample_w.shape == (1,) and float(sample_w[0]) == 1.0
         # stored pose must align src onto tgt within the overlap radius
         aligned = src @ rot.T + trans[:, 0]
         d = np.linalg.norm(aligned[corr[:, 0]] - tgt[corr[:, 1]], axis=1)
@@ -61,7 +67,7 @@ class TestMixtureDataset:
         ds = MixtureDataset(infos, extra_root=generated_root,
                             overlap_radius=0.05, data_augmentation=True,
                             augment_noise=0.0, seed=1)
-        src, tgt, _, _, rot, trans, corr = ds[0]
+        src, tgt, _, _, rot, trans, corr = ds[0][:7]
         aligned = src @ rot.T + trans[:, 0]
         d = np.linalg.norm(aligned[corr[:, 0]] - tgt[corr[:, 1]], axis=1)
         assert d.max() <= 0.05 + 1e-5
@@ -130,3 +136,36 @@ class TestMixturePairDataset:
         src = np.full((10, 3), 50.0)
         ref_c, src_c = ds.cube_crop(ref, src)
         assert ref_c is ref and src_c is src
+
+
+class TestGeotransExtras:
+    def test_rotated_mode_keeps_alignment(self, generated_root):
+        ds = MixturePairDataset(generated_root, use_augmentation=True,
+                                augmentation_noise=0.0, rotated=True,
+                                return_corr_indices=True,
+                                matching_radius=0.05, seed=5)
+        item = ds[0]
+        ref, src = item["ref_points"], item["src_points"]
+        tf = item["transform"]
+        corr = item["corr_indices"]
+        assert corr.shape[0] > 0
+        aligned = src @ tf[:3, :3].T + tf[:3, 3]
+        # corr columns are (ref_idx, src_idx) — GeoTransformer's order
+        d = np.linalg.norm(ref[corr[:, 0]] - aligned[corr[:, 1]], axis=1)
+        assert d.max() <= 0.05 + 1e-5
+
+    def test_aug_rotation_factor_scales_angles(self, generated_root):
+        from pointreggpt_tpu.dataloaders.mixture import random_sample_rotation
+        rng = np.random.default_rng(0)
+        # large factor -> tiny euler angles -> rotation near identity
+        r = random_sample_rotation(rng, rotation_factor=1e6)
+        np.testing.assert_allclose(r, np.eye(3), atol=1e-5)
+
+    def test_rotation_v2_orthonormal(self):
+        from pointreggpt_tpu.dataloaders.mixture import (
+            random_sample_rotation_v2)
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            r = random_sample_rotation_v2(rng)
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
+            assert np.isclose(np.linalg.det(r), 1.0)
