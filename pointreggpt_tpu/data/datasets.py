@@ -15,6 +15,14 @@ on-disk contracts:
 Batches are dicts of stacked numpy arrays (the reference's collate_func,
 sdd:311-322) produced by a background-thread prefetcher that overlaps PNG
 decoding with device compute.
+
+Documented divergence (deliberate): torchvision's ``ToTensor`` reads
+16-bit PNGs (PIL mode ``I;16``) as **int16**, so raw values >= 32768 wrap
+negative in the reference — e.g. a 65535 invalid marker becomes -1e-4 m
+and dodges the ``> 1 -> 0`` clip (sdd:1552-1554, dc:934-939). We decode
+uint16, so the same pixels scale to 6.5535 and the clip zeroes them like
+every other out-of-range reading. 3DMatch depth frames mark invalid as 0
+and stay < 10 m, so production data never reaches the wrap.
 """
 
 from __future__ import annotations
