@@ -5,16 +5,29 @@ params, re-standardizes each WSConv kernel (sdd:601-616) and casts the
 matmul/conv weights to the compute dtype — all loop-invariant work that
 XLA's while-loop LICM does not reliably hoist out of the scan, and fp32
 weight reads cost 2x the HBM bytes of the bf16 copies actually consumed.
-``bake_inference_params`` performs that work ONCE on the host-side param
-tree; ``WSConv`` skips standardization for non-fp32 kernels (a baked kernel
-is already standardized), so ``model.apply(baked, ...)`` is bit-identical
-to ``model.apply(params, ...)`` by construction:
+``bake_inference_params`` performs that work ONCE, on host in numpy (fully
+deterministic — no XLA fusion in the loop; also halves the param upload);
+``WSConv`` skips standardization for non-fp32 kernels (a baked kernel is
+already standardized).
 
-- WSConv kernels (``Block``'s ``proj``): fp32 standardize -> cast, exactly
-  the per-step computation.
+Numerical contract: each baked weight equals the fp32 standardization
+rounded to bf16, and differs from the weight the per-step path would have
+used by AT MOST ONE bf16 ulp — the same quantization-noise class as the
+bf16 cast both paths already apply. Bitwise equality with the in-step
+path is not achievable even in principle: ``lax.rsqrt`` is an approximate
+intrinsic whose last fp32 bits depend on backend and fusion (two
+differently-jitted XLA bakes already disagree on isolated elements), so
+the bake uses correctly-rounded numpy ``/sqrt`` instead. Forward outputs
+agree to bf16 noise (tests pin the bound); DDNM-pinned pixels are exact
+regardless (the projection overwrites them with the conditioning).
+
+Per-leaf rules:
+
+- WSConv kernels (``Block``'s ``proj``): fp32 standardize -> bf16 cast
+  (round-to-nearest-even, same as XLA ConvertElementType).
 - Kernels consumed through ``kernel.astype(compute_dtype)`` (Dense, Conv,
-  the attention projections): ``astype`` of a pre-cast array is the
-  identity.
+  the attention projections): pre-cast — ``astype`` of a pre-cast array is
+  the identity.
 - Kernels consumed in fp32 stay fp32: ``final_conv`` (the model's fp32
   output head) and ``Upsample``'s ``conv`` (its 4x4 kernel is *summed* in
   fp32 before the cast — bf16 partial sums would differ).
@@ -33,6 +46,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pointreggpt_tpu.models.blocks import _ws_eps
 
@@ -41,21 +55,21 @@ def maybe_bake(params: Any, dtype: Any) -> Any:
     """``bake_inference_params`` for non-fp32 ``dtype``; identity for fp32.
 
     The gate inference drivers use: bake exactly when the model computes in
-    a low-precision dtype (where baking is bit-identical AND saves work).
-    Runs as one jitted program (eager op-by-op dispatch would cost a
-    round-trip per param leaf through the TPU tunnel).
+    a low-precision dtype (where baking preserves outputs AND saves work).
+    Device-resident trees are pulled to host once (the bake is numpy).
     """
     if dtype == jnp.float32:
         return params
-    return _bake_jit(params, dtype)
+    return bake_inference_params(params, dtype)
 
 
 def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
-    """Return a baked copy of ``params`` for inference at ``dtype``.
+    """Return a baked host copy of ``params`` for inference at ``dtype``.
 
     ``params`` is the variable dict from ``model.init`` / a checkpoint
-    (with or without the top-level ``"params"`` wrapper). ``dtype`` must be
-    the model's compute dtype and must not be fp32: ``WSConv``'s
+    (with or without the top-level ``"params"`` wrapper); leaves may be
+    numpy or device arrays (device leaves transfer to host once). ``dtype``
+    must be the model's compute dtype and must not be fp32: ``WSConv``'s
     skip-standardization gate keys on the kernel dtype, so a pre-standardized
     fp32 kernel would be standardized twice at apply time. Callers running
     fp32 models should skip baking (there is nothing to save).
@@ -65,7 +79,8 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
             "bake_inference_params requires a non-fp32 compute dtype "
             "(a baked fp32 WSConv kernel would be re-standardized at "
             "apply); skip baking for fp32 models")
-    eps = _ws_eps(dtype)
+    eps = np.float32(_ws_eps(dtype))
+    np_dtype = jnp.dtype(dtype)  # numpy dtype instance (bf16 via ml_dtypes)
 
     def walk(tree, path):
         out = {}
@@ -76,11 +91,14 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
                 continue
             if key == "kernel":
                 parent = p[-2]
+                v = np.asarray(val)
                 if parent == "proj":  # WSConv inside Block
-                    mean = jnp.mean(val, axis=(0, 1, 2), keepdims=True)
-                    var = jnp.var(val, axis=(0, 1, 2), keepdims=True)
-                    out[key] = ((val - mean) *
-                                jax.lax.rsqrt(var + eps)).astype(dtype)
+                    mean = v.mean(axis=(0, 1, 2), keepdims=True,
+                                  dtype=np.float32)
+                    var = v.var(axis=(0, 1, 2), keepdims=True,
+                                dtype=np.float32)
+                    std = (v - mean) / np.sqrt(var + eps)
+                    out[key] = std.astype(np_dtype)
                     continue
                 if parent == "final_conv":  # fp32 output head
                     out[key] = val
@@ -89,11 +107,9 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
                         "upsample" in p[-3]:  # Upsample sums its kernel fp32
                     out[key] = val
                     continue
-                out[key] = val.astype(dtype)
+                out[key] = v.astype(np_dtype)
             else:
                 out[key] = val
         return out
 
     return walk(params, ())
-
-_bake_jit = jax.jit(bake_inference_params, static_argnums=1)

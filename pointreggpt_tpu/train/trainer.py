@@ -27,7 +27,6 @@ from pointreggpt_tpu.core import geometry as G
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.data import DepthDataset, PrefetchLoader
 from pointreggpt_tpu.diffusion import GaussianDiffusion
-from pointreggpt_tpu.models import bake
 from pointreggpt_tpu.parallel import mesh as M
 from pointreggpt_tpu.train import checkpoint as ckpt
 from pointreggpt_tpu.train import ema as ema_lib
@@ -293,10 +292,13 @@ class Trainer:
             resize=self.image_size, centercrop=self.image_size,
         ).astype(np.float32)
         param_cond = G.param_vector(jnp.asarray(intrinsic))
-        # baked for the sampling chain only (bit-identical, models/bake.py);
-        # the live fp32 EMA tree in self.state is untouched
-        ema_params = bake.maybe_bake(self.state.ema.params, self.model.dtype)
-        images = self._sample_fn(ema_params, k2, param_cond)
+        # NOT baked: the EMA tree is device-resident and changes every
+        # milestone, so the host-side bake (models/bake.py) would pay a
+        # full param download + re-upload per milestone — more than the
+        # per-chain standardize/cast it saves. The steady-state inference
+        # drivers (Generator/Tester/MaskTester) bake at load from HOST
+        # checkpoints, where it is strictly a win.
+        images = self._sample_fn(self.state.ema.params, k2, param_cond)
         return np.asarray(images)
 
     # ------------------------------------------------------------------

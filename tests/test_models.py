@@ -204,29 +204,36 @@ class TestNormDtypePlumbing:
 
 
 class TestBakeInferenceParams:
-    """bake.bake_inference_params must be a bit-identical inference rewrite."""
+    """bake.bake_inference_params: same math, bf16-ulp-bounded weights.
 
-    def _assert_bitwise(self, model, params, baked, *args):
-        ya = model.apply(params, *args)
-        yb = model.apply(baked, *args)
+    The baked forward is NOT bitwise-equal to the in-step path (lax.rsqrt
+    is an approximate intrinsic, so isolated weights round one bf16 ulp
+    differently — see models/bake.py); outputs must agree to bf16 noise."""
+
+    def _assert_close(self, model, params, baked, *args):
+        f = jax.jit(lambda pr, *a: model.apply(pr, *a))
+        ya = f(params, *args)
+        yb = f(baked, *args)
         assert ya.dtype == yb.dtype
-        assert jnp.array_equal(ya, yb), \
-            float(jnp.abs(ya.astype(jnp.float32) -
-                          yb.astype(jnp.float32)).max())
+        da = np.abs(np.asarray(ya, np.float32) - np.asarray(yb, np.float32))
+        scale = max(float(np.abs(np.asarray(ya, np.float32)).max()), 1e-3)
+        assert da.max() <= 0.05 * scale, (da.max(), scale)
 
-    def test_diffusion_unet_bf16_bitwise(self):
+    def test_diffusion_unet_bf16_close(self):
         from pointreggpt_tpu.models.bake import bake_inference_params
 
-        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+        # full 4-stage topology: bottleneck attention, Upsample fp32
+        # kernels, the works
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2, 4, 8), channels=1,
                               dtype=jnp.bfloat16)
-        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
         t = jnp.array([17.0, 903.0])
         p = jnp.ones((2, 4)) * 250
         params = model.init(jax.random.PRNGKey(0), x, t, p)
         baked = bake_inference_params(params, jnp.bfloat16)
-        self._assert_bitwise(model, params, baked, x, t, p)
+        self._assert_close(model, params, baked, x, t, p)
 
-    def test_mask_unet_bf16_bitwise(self):
+    def test_mask_unet_bf16_close(self):
         from pointreggpt_tpu.models.bake import bake_inference_params
 
         model = MaskUNet(dim=8, dim_mults=(1, 2), dtype=jnp.bfloat16)
@@ -234,7 +241,41 @@ class TestBakeInferenceParams:
             jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 1)), 0, 1)
         params = model.init(jax.random.PRNGKey(3), x)
         baked = bake_inference_params(params, jnp.bfloat16)
-        self._assert_bitwise(model, params, baked, x)
+        self._assert_close(model, params, baked, x)
+
+    def test_baked_weights_within_one_bf16_ulp_of_instep(self):
+        """Every baked weight must be within one bf16 ulp of the value the
+        in-step path (jnp standardize -> astype) would have consumed."""
+        from pointreggpt_tpu.models.bake import bake_inference_params
+        from pointreggpt_tpu.models.blocks import _ws_eps
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2, 4, 8), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 32, 32, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        baked = bake_inference_params(params, jnp.bfloat16)
+
+        def instep(kernel):
+            mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+            return ((kernel - mean) * jax.lax.rsqrt(
+                var + _ws_eps(jnp.bfloat16))).astype(jnp.bfloat16)
+
+        checked = 0
+        for name, sub in params["params"].items():
+            for bname, leaf in sub.items() if isinstance(sub, dict) else ():
+                if not (isinstance(leaf, dict) and "proj" in leaf):
+                    continue
+                want = np.asarray(instep(leaf["proj"]["kernel"]),
+                                  np.float32)
+                got = np.asarray(baked["params"][name][bname]["proj"]
+                                 ["kernel"], np.float32)
+                # one bf16 ulp(x) = 2^(floor(log2|x|) - 7) <= |x| * 2^-7
+                tol = np.abs(want) * 2**-7 + 1e-12
+                assert (np.abs(want - got) <= tol).all(), (name, bname)
+                checked += 1
+        assert checked > 10
 
     def test_baked_tree_dtypes(self):
         """Kernels go bf16 except the fp32-consumed ones; the rest is
@@ -264,7 +305,8 @@ class TestBakeInferenceParams:
         assert n_fp32_kernel >= 2  # final_conv + at least one upsample
 
     def test_wsconv_kernels_standardized(self):
-        """A baked proj kernel equals fp32-standardize -> bf16-cast."""
+        """A baked proj kernel equals the numpy fp32-standardize -> bf16
+        cast bit-for-bit (the bake itself is deterministic)."""
         from pointreggpt_tpu.models.bake import bake_inference_params
         from pointreggpt_tpu.models.blocks import _ws_eps
 
@@ -273,14 +315,16 @@ class TestBakeInferenceParams:
         x = jnp.zeros((1, 16, 16, 1))
         params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
                             jnp.zeros((1, 4)))
-        raw = params["params"]["mid_block1"]["block1"]["proj"]["kernel"]
+        raw = np.asarray(
+            params["params"]["mid_block1"]["block1"]["proj"]["kernel"])
         baked = bake_inference_params(params, jnp.bfloat16)
         got = baked["params"]["mid_block1"]["block1"]["proj"]["kernel"]
-        mean = jnp.mean(raw, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(raw, axis=(0, 1, 2), keepdims=True)
-        want = ((raw - mean) * jax.lax.rsqrt(var + _ws_eps(jnp.bfloat16))
-                ).astype(jnp.bfloat16)
-        assert jnp.array_equal(got, want)
+        mean = raw.mean(axis=(0, 1, 2), keepdims=True, dtype=np.float32)
+        var = raw.var(axis=(0, 1, 2), keepdims=True, dtype=np.float32)
+        want = ((raw - mean) / np.sqrt(var + np.float32(
+            _ws_eps(jnp.bfloat16)))).astype(jnp.dtype(jnp.bfloat16))
+        assert np.array_equal(np.asarray(got, np.float32),
+                              np.asarray(want, np.float32))
 
     def test_fp32_bake_rejected(self):
         from pointreggpt_tpu.models.bake import bake_inference_params

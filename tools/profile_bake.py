@@ -10,8 +10,9 @@ probe times the production-shape U-Net forward chained K steps:
      kernels ONCE; WSConv's dtype-gate skips in-step standardization) —
      what Generator/Tester/MaskTester now do at load time.
 
-Numerics are bit-identical by construction (fp32 standardize -> bf16 cast
-is exactly what the per-step path computes); the probe asserts it on chip.
+Weights agree with the in-step path to one bf16 ulp (lax.rsqrt is an
+approximate intrinsic — see models/bake.py); the probe asserts the
+forward outputs stay within bf16 noise on chip.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_bake.py
 
@@ -27,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("PRGPT_PLATFORM"):  # e.g. cpu smoke-testing the script
+    jax.config.update("jax_platforms", os.environ["PRGPT_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pointreggpt_xla"))
 
@@ -58,14 +61,17 @@ def main():
     pc = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, tt, pc)
 
-    baked = jax.jit(lambda p: bake_inference_params(p, DT))(params)
-    baked = jax.block_until_ready(baked)
+    baked = bake_inference_params(params, DT)  # host-side numpy bake
 
-    # bitwise parity: one forward through each path (on chip, fused kernels)
-    ya = model.apply(params, x, tt, pc)
-    yb = model.apply(baked, x, tt, pc)
-    assert jnp.array_equal(ya, yb), "baked params changed the forward!"
-    log("parity: baked forward is bit-identical")
+    # parity within bf16 noise: one jitted forward through each path
+    fwd = jax.jit(lambda p, x: model.apply(p, x, tt, pc))
+    ya = np.asarray(fwd(params, x), np.float32)
+    yb = np.asarray(fwd(baked, x), np.float32)
+    d = np.abs(ya - yb).max()
+    scale = max(abs(ya).max(), 1e-3)
+    assert d <= 0.05 * scale, (d, scale)
+    log(f"parity: baked forward within bf16 noise "
+        f"(max|d|={d:.2e}, scale={scale:.2f})")
 
     def chain(eps, p, x):
         def body(acc, i):
