@@ -377,8 +377,10 @@ class MixturePairDataset:
             # GeoTransformer's get_correspondences returns (ref_idx,
             # src_idx) columns (ref enumerated first); ours yields
             # [src_idx, ref_idx] — same pair set, flip the columns (row
-            # order differs, downstream treats it as a set)
-            data_dict["corr_indices"] = correspondences_np(
-                src_points, ref_points, transform,
-                self.matching_radius)[:, ::-1]
+            # order differs, downstream treats it as a set). Fancy
+            # indexing, not [:, ::-1]: the host repo's collate calls
+            # torch.from_numpy, which rejects negative strides.
+            data_dict["corr_indices"] = np.ascontiguousarray(
+                correspondences_np(src_points, ref_points, transform,
+                                   self.matching_radius)[:, ::-1])
         return data_dict

@@ -110,7 +110,7 @@ class Tester:
              "ema": {"params": target_params, "step": 0, "initted": False}})
         # params replicated on every local chip (mesh-DP), baked for
         # inference (pre-standardized WSConv kernels + bf16 weight copies;
-        # bit-identical, models/bake.py)
+        # within one bf16 ulp of the in-step path, models/bake.py)
         self.ema_params = M.replicate(
             self.mesh, bake.maybe_bake(state["ema"]["params"],
                                        self.model.dtype))

@@ -56,7 +56,8 @@ def maybe_bake(params: Any, dtype: Any) -> Any:
 
     The gate inference drivers use: bake exactly when the model computes in
     a low-precision dtype (where baking preserves outputs AND saves work).
-    Device-resident trees are pulled to host once (the bake is numpy).
+    The bake is numpy: kernel leaves of a device-resident tree transfer to
+    host (one D2H per kernel); non-kernel leaves pass through unchanged.
     """
     if dtype == jnp.float32:
         return params
@@ -81,6 +82,7 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
             "apply); skip baking for fp32 models")
     eps = np.float32(_ws_eps(dtype))
     np_dtype = jnp.dtype(dtype)  # numpy dtype instance (bf16 via ml_dtypes)
+    n_std = [0]
 
     def walk(tree, path):
         out = {}
@@ -93,6 +95,7 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
                 parent = p[-2]
                 v = np.asarray(val)
                 if parent == "proj":  # WSConv inside Block
+                    n_std[0] += 1
                     mean = v.mean(axis=(0, 1, 2), keepdims=True,
                                   dtype=np.float32)
                     var = v.var(axis=(0, 1, 2), keepdims=True,
@@ -112,4 +115,23 @@ def bake_inference_params(params: Any, dtype: Any = jnp.bfloat16) -> Any:
                 out[key] = val
         return out
 
-    return walk(params, ())
+    out = walk(params, ())
+    if n_std[0] == 0:
+        # the bake keys WSConv kernels on their Flax name ("proj" inside
+        # Block) with nothing else enforcing the contract; a rename in
+        # blocks.py would otherwise cast WSConv kernels to bf16
+        # UNSTANDARDIZED and the dtype-gate in WSConv would silently skip
+        # standardization at apply time. Both U-Nets are full of Blocks,
+        # so zero standardized kernels always means naming drift.
+        raise ValueError(
+            "bake_inference_params standardized 0 kernels — no 'proj' "
+            "(WSConv) entries found; the Block/WSConv naming contract "
+            "has drifted (see models/blocks.py)")
+    return out
+
+
+# Relative bound for baked-vs-unbaked forward agreement used by tests and
+# the drive/probe tools: one bf16 ulp per weight accumulates to well under
+# this across both U-Nets (measured ~1% worst-case at dim=8; real dim=64
+# models average lower).
+BF16_NOISE_REL = 0.05

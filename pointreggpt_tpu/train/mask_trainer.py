@@ -313,7 +313,7 @@ class MaskTester:
             self.results_folder / f"model-{milestone}.ckpt",
             {"epoch": 0, "params": jax.tree_util.tree_map(
                 np.asarray, params_target)})
-        # baked for inference (bit-identical, models/bake.py)
+        # baked for inference (one-bf16-ulp contract, models/bake.py)
         self.params = bake.maybe_bake(state["params"], self.model.dtype)
 
     def test(self, *, limit: Optional[int] = None) -> None:

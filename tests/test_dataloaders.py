@@ -169,3 +169,16 @@ class TestGeotransExtras:
             r = random_sample_rotation_v2(rng)
             np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
             assert np.isclose(np.linalg.det(r), 1.0)
+
+    def test_corr_indices_contiguous_for_torch(self, generated_root):
+        """The host repo's collate calls torch.from_numpy, which rejects
+        negative-stride views — the column flip must produce a fresh
+        contiguous array."""
+        ds = MixturePairDataset(generated_root, return_corr_indices=True,
+                                matching_radius=0.05, seed=0)
+        corr = ds[0]["corr_indices"]
+        assert corr.flags["C_CONTIGUOUS"]
+        import torch
+
+        t = torch.from_numpy(corr)  # raises on negative strides
+        assert t.shape == corr.shape

@@ -211,13 +211,15 @@ class TestBakeInferenceParams:
     differently — see models/bake.py); outputs must agree to bf16 noise."""
 
     def _assert_close(self, model, params, baked, *args):
+        from pointreggpt_tpu.models.bake import BF16_NOISE_REL
+
         f = jax.jit(lambda pr, *a: model.apply(pr, *a))
         ya = f(params, *args)
         yb = f(baked, *args)
         assert ya.dtype == yb.dtype
         da = np.abs(np.asarray(ya, np.float32) - np.asarray(yb, np.float32))
         scale = max(float(np.abs(np.asarray(ya, np.float32)).max()), 1e-3)
-        assert da.max() <= 0.05 * scale, (da.max(), scale)
+        assert da.max() <= BF16_NOISE_REL * scale, (da.max(), scale)
 
     def test_diffusion_unet_bf16_close(self):
         from pointreggpt_tpu.models.bake import bake_inference_params
@@ -331,3 +333,33 @@ class TestBakeInferenceParams:
 
         with pytest.raises(ValueError):
             bake_inference_params({}, jnp.float32)
+
+    def test_standardized_count_pinned(self):
+        """The bake keys WSConv kernels on the literal 'proj' name; pin the
+        exact standardized-kernel count so a Block/WSConv rename fails
+        loudly here instead of silently skipping standardization."""
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1,
+                              dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 16, 16, 1))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                            jnp.zeros((1, 4)))
+        flat = jax.tree_util.tree_flatten_with_path(
+            bake_inference_params(params, jnp.bfloat16))[0]
+        n = sum(1 for path, leaf in flat
+                if getattr(path[-1], "key", None) == "kernel"
+                and getattr(path[-2], "key", None) == "proj"
+                and leaf.dtype == jnp.bfloat16)
+        # mults (1,2): 2 down stages x 2 ResBlocks + mid 2 + 2 up stages
+        # x 2 + final_res_block = 11 ResBlocks x 2 Blocks = 22 WSConvs
+        assert n == 22, n
+
+    def test_zero_wsconv_tree_rejected(self):
+        from pointreggpt_tpu.models.bake import bake_inference_params
+
+        with pytest.raises(ValueError, match="naming contract"):
+            bake_inference_params(
+                {"params": {"dense": {"kernel": np.zeros((4, 4),
+                                                         np.float32)}}},
+                jnp.bfloat16)

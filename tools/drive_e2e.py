@@ -1,8 +1,9 @@
 """End-to-end drive: geometry -> condition -> jitted DDIM/DDNM scan (with
 BAKED inference params) -> pointops -> PLY roundtrip -> overlap.
 
-Checks: baked-params bitwise parity, DDNM masked-pixel pinning (exact with
-refine off, broken by refine as expected), steady-state chain time, PLY
+Checks: baked-params forward parity within bf16 noise (one-bf16-ulp weight
+contract, models/bake.py), DDNM masked-pixel pinning (exact with refine
+off, broken by refine as expected), steady-state chain time, PLY
 write/read identity, self-overlap 1.0.
 
 Runs CPU-forced by default (safe while the axon tunnel is down); set
@@ -30,6 +31,7 @@ from pointreggpt_tpu.core import pointops as P
 from pointreggpt_tpu.core import sampling as S
 from pointreggpt_tpu.diffusion import GaussianDiffusion
 from pointreggpt_tpu.models import DiffusionUNet, maybe_bake
+from pointreggpt_tpu.models.bake import BF16_NOISE_REL
 
 H = 32
 print("backend:", jax.default_backend())
@@ -62,7 +64,7 @@ fwd = jax.jit(lambda p, xx: model.apply(
 ya = np.asarray(fwd(params, depth01[..., None]), np.float32)
 yb = np.asarray(fwd(baked, depth01[..., None]), np.float32)
 d = np.abs(ya - yb).max()
-assert d <= 0.05 * max(np.abs(ya).max(), 1e-3), d
+assert d <= BF16_NOISE_REL * max(np.abs(ya).max(), 1e-3), d
 print(f"baked forward within bf16 noise (max|d|={d:.2e}): OK")
 
 diffusion = GaussianDiffusion(

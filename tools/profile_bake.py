@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointreggpt_tpu.models import DiffusionUNet
-from pointreggpt_tpu.models.bake import bake_inference_params
+from pointreggpt_tpu.models.bake import BF16_NOISE_REL, bake_inference_params
 
 B = int(os.environ.get("PRGPT_BAKE_B", 8))
 K = int(os.environ.get("PRGPT_BAKE_K", 16))
@@ -69,7 +69,7 @@ def main():
     yb = np.asarray(fwd(baked, x), np.float32)
     d = np.abs(ya - yb).max()
     scale = max(abs(ya).max(), 1e-3)
-    assert d <= 0.05 * scale, (d, scale)
+    assert d <= BF16_NOISE_REL * scale, (d, scale)
     log(f"parity: baked forward within bf16 noise "
         f"(max|d|={d:.2e}, scale={scale:.2f})")
 
