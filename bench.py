@@ -73,9 +73,14 @@ def main():
     dc_params = dc_model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, image_size, image_size, 1)))
     # the production path (Generator.generate -> device_params) bakes
-    # inference params (models/bake.py); the bench measures the same program
-    params = jax.block_until_ready(maybe_bake(params, model.dtype))
-    dc_params = jax.block_until_ready(maybe_bake(dc_params, dc_model.dtype))
+    # inference params (models/bake.py) and device_puts the baked host tree
+    # ONCE; without the device_put every timed call would re-upload ~74 MB
+    # of numpy weights through the tunnel (measured 28.7 -> 145.8 ms/step,
+    # tools/profile_bake.py)
+    params = jax.block_until_ready(
+        jax.device_put(maybe_bake(params, model.dtype)))
+    dc_params = jax.block_until_ready(
+        jax.device_put(maybe_bake(dc_params, dc_model.dtype)))
 
     gen = Generator(model, diffusion, folder=".",
                     batch_size=batch, memory_capacity=memory_capacity,

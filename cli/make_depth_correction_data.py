@@ -28,22 +28,25 @@ import _path  # noqa: F401
 
 import numpy as np
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--data", default="/path/to/3DMatch-RGBD/train",
-                    help="3DMatch RGB-D train root")
-parser.add_argument("--train_info",
-                    default="./dataset/indoor/metadata/train_info.pkl")
-parser.add_argument("--data_root", default="./dataset/indoor/data",
-                    help="fragment .info.txt root")
-parser.add_argument("--out", default="./dataset/depth_correction")
-parser.add_argument("--image_size", default=256, type=int)
-parser.add_argument("--num_pairs", default=2000, type=int)
-parser.add_argument("--val_fraction", default=0.05, type=float)
-parser.add_argument("--seed", default=0, type=int)
-args = parser.parse_args()
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", default="/path/to/3DMatch-RGBD/train",
+                        help="3DMatch RGB-D train root")
+    parser.add_argument("--train_info",
+                        default="./dataset/indoor/metadata/train_info.pkl")
+    parser.add_argument("--data_root", default="./dataset/indoor/data",
+                        help="fragment .info.txt root")
+    parser.add_argument("--out", default="./dataset/depth_correction")
+    parser.add_argument("--image_size", default=256, type=int)
+    parser.add_argument("--num_pairs", default=2000, type=int)
+    parser.add_argument("--val_fraction", default=0.05, type=float)
+    parser.add_argument("--seed", default=0, type=int)
+    return parser
 
 
-def main():
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
     import jax.numpy as jnp
 
     from pointreggpt_tpu.core import imageio16

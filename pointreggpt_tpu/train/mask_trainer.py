@@ -313,8 +313,11 @@ class MaskTester:
             self.results_folder / f"model-{milestone}.ckpt",
             {"epoch": 0, "params": jax.tree_util.tree_map(
                 np.asarray, params_target)})
-        # baked for inference (one-bf16-ulp contract, models/bake.py)
-        self.params = bake.maybe_bake(state["params"], self.model.dtype)
+        # baked for inference (one-bf16-ulp contract, models/bake.py);
+        # device_put ONCE — the bake returns a host numpy tree, and feeding
+        # that to the jitted apply would re-upload every param per item
+        self.params = jax.device_put(
+            bake.maybe_bake(state["params"], self.model.dtype))
 
     def test(self, *, limit: Optional[int] = None) -> None:
         import imageio

@@ -167,6 +167,11 @@ class TestTesterBakedLoad:
         assert tree["mid_block1"]["block1"]["proj"]["kernel"].dtype == \
             jnp.bfloat16
         assert tree["final_conv"]["kernel"].dtype == jnp.float32
+        # the bake returns a HOST numpy tree; load must device_put it once
+        # or every jitted sample call re-uploads the full param tree
+        # (measured 28.7 -> 145.8 ms/U-Net-step through the TPU tunnel)
+        for leaf in jax.tree_util.tree_leaves(tester.ema_params):
+            assert isinstance(leaf, jax.Array), type(leaf)
 
     def test_load_keeps_fp32_model_params(self, tmp_path):
         tester = make_tester(tmp_path)  # fp32 model

@@ -227,6 +227,10 @@ class TestMaskTester:
         mt.TestDataset = patched
         try:
             tester.load("best")
+            # load must device_put the (possibly baked, host-numpy) params
+            # once — numpy leaves would re-upload per evaluated item
+            for leaf in jax.tree_util.tree_leaves(tester.params):
+                assert isinstance(leaf, jax.Array), type(leaf)
             tester.test(limit=1)
         finally:
             mt.TestDataset = orig

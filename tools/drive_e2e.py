@@ -46,13 +46,17 @@ pose = S.random_sample_pose(key, 1)
 depth01 = jnp.asarray(depth[None]) / 10.0
 cond = G.image_condition(depth01, jnp.asarray(intr), pose,
                          use_occlusion_filter=True)
-print("cond: valid frac", float((cond[..., 0] > 0).mean()))
+# cond is normalized to [-1, 1]; the validity mask is channel 1 (>0 there
+# means mask01 > 0.5 — channel 0 is the depth, negative for depths < 5 m)
+print("cond: valid frac", float((cond[..., 1] > 0).mean()))
 
 model = DiffusionUNet(dim=16, param_cond_dim=4, dim_mults=(1, 2), channels=1,
                       dtype=jnp.bfloat16)
 params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, H, 1)),
                     jnp.zeros((1,)), jnp.zeros((1, 4)))
-baked = maybe_bake(params, model.dtype)  # the changed code under test
+# the changed code under test; device_put once like every production
+# consumer (the bake returns a host numpy tree)
+baked = jax.device_put(maybe_bake(params, model.dtype))
 
 # sanity: bake actually engaged (bf16 kernels) and the forward agrees to
 # bf16 noise (weights match the in-step path to one bf16 ulp; lax.rsqrt is
@@ -114,6 +118,9 @@ np.testing.assert_allclose(back, np.asarray(dpts)[np.asarray(dvalid)],
 r12, r21 = P.overlap_ratio(jnp.asarray(back), jnp.ones((len(back),), bool),
                            jnp.asarray(back), jnp.ones((len(back),), bool),
                            voxel_size=0.05)
-assert float(r12) == 1.0 and float(r21) == 1.0, (float(r12), float(r21))
+# self-overlap is 1.0 up to one fp32 ulp: the ratio is computed on device
+# as sum * (1/n), and TPU's reciprocal rounding gives 0.99999994 for some n
+assert float(r12) > 0.99999 and float(r21) > 0.99999, \
+    (float(r12), float(r21))
 print(f"PLY roundtrip {n} pts + self-overlap 1.0: OK")
 print("DRIVE OK")

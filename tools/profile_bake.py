@@ -61,7 +61,11 @@ def main():
     pc = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, tt, pc)
 
-    baked = bake_inference_params(params, DT)  # host-side numpy bake
+    # host-side numpy bake, then device_put ONCE like every production
+    # consumer (Generator/Tester replicate, MaskTester/bench device_put) —
+    # timing the raw numpy tree instead measures a ~74 MB param re-upload
+    # per call (145.8 vs 28.7 ms/step through the tunnel)
+    baked = jax.device_put(bake_inference_params(params, DT))
 
     # parity within bf16 noise: one jitted forward through each path
     fwd = jax.jit(lambda p, x: model.apply(p, x, tt, pc))
