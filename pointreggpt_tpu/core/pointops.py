@@ -351,27 +351,44 @@ def correspondences_np(
     Returns:
         (k, 2) int64 array of [src_idx, tgt_idx] pairs.
     """
-    src_t = src @ transform[:3, :3].T + transform[:3, 3]
-    src_t = jnp.asarray(src_t, jnp.float32)
-    tgt_j = jnp.asarray(tgt, jnp.float32)
-    r_sq = radius * radius
+    n, m = src.shape[0], tgt.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    src_t = (src @ transform[:3, :3].T + transform[:3, 3]).astype(np.float32)
 
-    @jax.jit
-    def block_mask(s_block):
-        d_sq = (jnp.sum(s_block**2, -1)[:, None] +
-                jnp.sum(tgt_j**2, -1)[None, :] -
-                2.0 * jnp.dot(s_block, tgt_j.T,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
-        return d_sq <= r_sq
+    # pad both clouds to shape buckets with far-apart sentinels (+1e9 src,
+    # -1e9 tgt: sentinel-sentinel and sentinel-real distances are ~1e18,
+    # never within radius) so the dataloaders' per-item calls with ragged
+    # cloud sizes reuse a handful of compiled programs instead of
+    # recompiling — and re-shipping tgt as an HLO constant — every call
+    m_pad = max(512, 1 << (m - 1).bit_length())
+    tgt_pad = np.full((m_pad, 3), -1e9, np.float32)
+    tgt_pad[:m] = tgt
+    n_pad = -(-n // block) * block
+    src_pad = np.full((n_pad, 3), 1e9, np.float32)
+    src_pad[:n] = src_t
+    tgt_j = jnp.asarray(tgt_pad)
+    r_sq = jnp.float32(radius * radius)
 
     pairs = []
-    for start in range(0, src_t.shape[0], block):
-        s_block = src_t[start:start + block]
-        mask = np.asarray(block_mask(s_block))
+    for start in range(0, n_pad, block):
+        mask = np.asarray(
+            _corr_block_mask(jnp.asarray(src_pad[start:start + block]),
+                             tgt_j, r_sq))
         ii, jj = np.nonzero(mask)
         if ii.size:
             pairs.append(np.stack([ii + start, jj], axis=1))
     if not pairs:
         return np.zeros((0, 2), dtype=np.int64)
     return np.concatenate(pairs, axis=0).astype(np.int64)
+
+
+@jax.jit
+def _corr_block_mask(s_block: Array, tgt: Array, r_sq: Array) -> Array:
+    """(block, 3) x (m_pad, 3) -> bool within-radius matrix (one compile
+    per (block, m_pad) shape bucket; radius is a traced argument)."""
+    d_sq = (jnp.sum(s_block**2, -1)[:, None] + jnp.sum(tgt**2, -1)[None, :] -
+            2.0 * jnp.dot(s_block, tgt.T,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+    return d_sq <= r_sq

@@ -77,7 +77,10 @@ def euler_xyz_intrinsic_to_matrix(angles: Array) -> Array:
         ],
         axis=-2,
     )
-    return rx @ ry @ rz
+    # geometry matmul: compose in full fp32 (TPU default precision runs
+    # bf16 passes; a ~1e-3 rotation error shifts splatted pixel indices)
+    return jnp.matmul(jnp.matmul(rx, ry, precision=jax.lax.Precision.HIGHEST),
+                      rz, precision=jax.lax.Precision.HIGHEST)
 
 
 def _se3(rotation: Array, translation: Array) -> Array:
@@ -166,7 +169,9 @@ def random_sample_pose(key: Array,
     c = jnp.asarray(center, dtype=rot.dtype)
     random_trans = jax.random.normal(k3, (batch_size, 3)) / 3.0
     random_trans = random_trans.at[:, -1].set(0.0)
-    translation = c - jnp.einsum("bij,j->bi", rot, c) + random_trans
+    translation = c - jnp.einsum("bij,j->bi", rot, c,
+                                 precision=jax.lax.Precision.HIGHEST) \
+        + random_trans
     return _se3(rot, translation)
 
 

@@ -260,6 +260,10 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        # advances across __iter__ calls so a finite loader reshuffles
+        # every epoch like torch DataLoader(shuffle=True) — a fresh
+        # permutation per pass, still a pure function of (seed, epoch)
+        self._epoch = 0
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"dataset has {len(dataset)} examples < batch_size "
@@ -271,15 +275,15 @@ class PrefetchLoader:
                                                              self.batch_size)
 
     def _index_batches(self) -> Iterator[List[int]]:
-        rng = np.random.default_rng(self.seed)
-        epoch = 0
         while True:
+            epoch = self._epoch
             # deterministic augmentation: datasets that derive their RNG
             # from (seed, epoch, index) learn the epoch here, before any
             # of the epoch's batches are decoded
             set_epoch = getattr(self.dataset, "set_epoch", None)
             if set_epoch is not None:
                 set_epoch(epoch)
+            rng = np.random.default_rng([self.seed, epoch])
             idx = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(idx)
@@ -287,7 +291,7 @@ class PrefetchLoader:
                     self.batch_size if self.drop_last else len(idx))
             for s in range(0, stop, self.batch_size):
                 yield list(idx[s:s + self.batch_size])
-            epoch += 1
+            self._epoch = epoch + 1
             if not self.infinite:
                 return
 

@@ -93,7 +93,11 @@ class Tester:
         depth, mask = G.reproject(images01[..., 0] * 10.0, intrinsic, pose)
         depth_f, mask_f = G.occlusion_filter(depth, mask)
         depth = jnp.where(apply_occlusion, depth_f, depth)
-        return depth, mask
+        # build the condition image in the same program: op-by-op host
+        # dispatch costs ~28 ms per primitive through the tunnel
+        img_cond = G.normalize_to_neg_one_to_one(
+            jnp.stack([depth * 0.1, mask.astype(jnp.float32)], axis=-1))
+        return depth, img_cond
 
     # ------------------------------------------------------------------
     def load(self, milestone) -> None:
@@ -214,14 +218,9 @@ class Tester:
                     float(np.sum(absolute_pose[..., :3, 3]**2) != 0))
                 images_sh, pose_sh = M.shard_batch(
                     self.mesh, (images, relative_pose))
-                depth_rpj, mask_rpj = self._reproject_fn(
+                depth_rpj, img_cond = self._reproject_fn(
                     images_sh, intr_sh, pose_sh, apply_occ)
                 images_rpj = np.asarray(depth_rpj) * 0.1
-                img_cond = G.normalize_to_neg_one_to_one(
-                    jnp.stack([
-                        depth_rpj * 0.1,
-                        mask_rpj.astype(jnp.float32)
-                    ], axis=-1))
 
                 key, k_s = jax.random.split(key)
                 images_last = images
@@ -273,7 +272,13 @@ class Tester:
             pts = G.transform_points(mem_pts, pose)
             depth, mask = G.points_to_depth(pts, mem_valid, intrinsic,
                                             image_size=(H, H))
-            return depth, mask
+            # occlusion filter + condition image in the same program
+            # (eager reduce_window/stack/normalize would pay ~28 ms of
+            # tunnel dispatch per primitive per sample step)
+            depth, mask = G.occlusion_filter(depth, mask)
+            img_cond = G.normalize_to_neg_one_to_one(
+                jnp.stack([depth * 0.1, mask.astype(jnp.float32)], axis=-1))
+            return depth, img_cond
 
         @jax.jit
         def save_downsample(mem_pts, mem_valid):
@@ -336,15 +341,9 @@ class Tester:
                 key, k_pose, k_s = jax.random.split(key, 3)
                 pose = S.random_sample_transform(k_pose, intr_j,
                                                  self.image_size)
-                depth_rpj, mask_rpj = splat_memory(mem_pts, mem_valid, pose,
+                depth_rpj, img_cond = splat_memory(mem_pts, mem_valid, pose,
                                                    intr_j)
-                depth_rpj, mask_rpj = G.occlusion_filter(depth_rpj, mask_rpj)
                 images_rpj = np.asarray(depth_rpj) * 0.1
-                img_cond = G.normalize_to_neg_one_to_one(
-                    jnp.stack([
-                        depth_rpj * 0.1,
-                        mask_rpj.astype(jnp.float32)
-                    ], axis=-1))
                 images_last = images
                 images_j = self._sample_fn(self.ema_params, k_s, param_cond,
                                            img_cond)

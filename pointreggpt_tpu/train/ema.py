@@ -55,7 +55,12 @@ def update(
     """One EMA update tick (call once per optimizer step)."""
     step = state.step
     do_tick = (step % update_every) == 0
-    k = (step // update_every) - (update_after_step // update_every + 1)
+    # decay epoch counts RAW steps, not ticks: ema_pytorch reads its step
+    # counter *after* incrementing, so epoch = step - update_after_step
+    # (with beta .995 / update_every 10 the cap is reached near step ~3k;
+    # a tick-unit epoch would stretch that 10x to ~30k, leaving every
+    # early-milestone EMA sample tracking the raw params)
+    k = step - update_after_step
     warm = k <= 0
 
     decay = _current_decay(

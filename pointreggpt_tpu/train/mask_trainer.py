@@ -36,12 +36,19 @@ class MaskTrainState(NamedTuple):
     opt_state: Any
 
 
-def bce_loss(prob: Array, target: Array, eps: float = 1e-7) -> Array:
-    """Binary cross entropy on probabilities (torch nn.BCELoss semantics:
-    clamps log terms at -100)."""
-    prob = jnp.clip(prob, eps, 1.0 - eps)
-    ll = target * jnp.log(prob) + (1.0 - target) * jnp.log(1.0 - prob)
-    return -jnp.mean(ll)
+def bce_loss(prob: Array, target: Array) -> Array:
+    """Binary cross entropy on probabilities (torch nn.BCELoss clamps the
+    log terms at -100; here fp32's min normal bounds them at ~-87.3, the
+    closest reachable floor on TPU where subnormals flush to zero).
+
+    The floor matters: probabilities are clamped at fp32-tiny, not a loose
+    1e-7, so confidently-wrong saturated pixels keep their loss scale and
+    gradient instead of silently plateauing at loss 16.1 / grad 0.
+    """
+    tiny = jnp.finfo(jnp.float32).tiny
+    log_p = jnp.maximum(jnp.log(jnp.maximum(prob, tiny)), -100.0)
+    log_q = jnp.maximum(jnp.log(jnp.maximum(1.0 - prob, tiny)), -100.0)
+    return -jnp.mean(target * log_p + (1.0 - target) * log_q)
 
 
 class MaskTrainer:

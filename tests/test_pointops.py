@@ -179,6 +179,28 @@ class TestCorrespondences:
         pairs = P.correspondences_np(src, tgt, rot, 1e-3)
         assert pairs.shape[0] == 1
 
+    def test_ragged_sizes_match_bruteforce(self):
+        rng = np.random.default_rng(11)
+        for n, m in ((37, 100), (513, 700), (2049, 3)):
+            src = rng.uniform(-1, 1, size=(n, 3))
+            tgt = rng.uniform(-1, 1, size=(m, 3))
+            pairs = P.correspondences_np(src, tgt, np.eye(4), 0.2)
+            d = np.linalg.norm(src[:, None] - tgt[None], axis=-1)
+            want = set(zip(*np.nonzero(d <= 0.2)))
+            assert set(map(tuple, pairs.tolist())) == want
+
+    def test_shared_compile_cache_across_items(self):
+        """Per-item dataloader calls must reuse the jitted program: clouds
+        of different sizes within one pad bucket share a single compile
+        (the old per-call closure rebuilt + re-shipped tgt every item)."""
+        rng = np.random.default_rng(0)
+        base = P._corr_block_mask._cache_size()
+        for m in (100, 200, 300):
+            src = rng.normal(size=(50, 3)).astype(np.float32)
+            tgt = rng.normal(size=(m, 3)).astype(np.float32)
+            P.correspondences_np(src, tgt, np.eye(4), 0.1)
+        assert P._corr_block_mask._cache_size() <= base + 1
+
 
 class TestSampling:
     def test_euler_matches_scipy(self):

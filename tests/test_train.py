@@ -77,6 +77,43 @@ class TestEMA:
                             update_after_step=0, update_every=10)
         assert float(s2.params["w"]) == float(s1.params["w"])
 
+    def test_decay_ramp_matches_ema_pytorch(self):
+        """The decay epoch counts RAW steps (ema_pytorch reads its counter
+        post-increment: epoch = step - update_after_step), not update
+        ticks — a tick-unit ramp would stretch the production warmup 10x,
+        leaving early-milestone EMA samples tracking the raw params."""
+        kw = dict(beta=0.995, update_after_step=100, update_every=10,
+                  inv_gamma=1.0, power=2.0 / 3.0)  # sdd:1658 config
+        state = ema_lib.init({"w": jnp.asarray(0.0)})
+        target = {"w": jnp.asarray(1.0)}
+        for _ in range(110):
+            state = ema_lib.update(state, target, **kw)
+        # every tick through step 100 is a warmup hard copy
+        assert float(state.params["w"]) == 1.0
+        # the step-110 tick lerps with decay 1 - (1 + 10)^(-2/3) ~ 0.798
+        state = ema_lib.update(state, {"w": jnp.asarray(0.0)}, **kw)
+        expected = 1.0 - (1.0 + 10.0)**(-2.0 / 3.0)
+        np.testing.assert_allclose(float(state.params["w"]), expected,
+                                   rtol=1e-6)
+
+
+class TestBceLoss:
+    def test_saturated_pixel_keeps_gradient_and_scale(self):
+        """torch nn.BCELoss clamps the log terms at -100; a loose 1e-7
+        probability clip would cap the loss at 16.1 and zero the gradient
+        for confidently-wrong pixels (sigmoid reaches 4e-8 at logit -17)."""
+        from pointreggpt_tpu.train.mask_trainer import bce_loss
+
+        t = jnp.asarray([1.0], jnp.float32)
+        p = jnp.asarray([4e-8], jnp.float32)
+        assert 16.5 < float(bce_loss(p, t)) < 100.0
+        g = jax.grad(lambda x: bce_loss(x, t))(p)
+        assert float(g[0]) < -1e6  # ~ -1/p
+        # fully saturated: loss capped near fp32's log floor, grad finite
+        zero = jnp.zeros((1,), jnp.float32)
+        assert 80.0 < float(bce_loss(zero, t)) <= 100.0
+        assert np.isfinite(float(jax.grad(lambda x: bce_loss(x, t))(zero)[0]))
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
@@ -261,6 +298,36 @@ class TestPrefetchLoaderErrors:
         with pytest.raises(IOError, match="corrupt frame"):
             for _ in loader:
                 pass
+
+
+class TestFiniteLoaderReshuffles:
+    class _Ident:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"i": np.asarray(i)}
+
+    def test_new_permutation_each_epoch(self):
+        """torch DataLoader(shuffle=True) reshuffles every epoch; a finite
+        loader that reseeds per __iter__ would train MaskTrainer on the
+        identical batch order for all 100 epochs."""
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        loader = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                                num_workers=1, seed=3)
+        pass1 = np.concatenate([b["i"] for b in loader])
+        pass2 = np.concatenate([b["i"] for b in loader])
+        assert sorted(pass1.tolist()) == list(range(32))
+        assert sorted(pass2.tolist()) == list(range(32))
+        assert (pass1 != pass2).any()
+        # still deterministic: a fresh loader replays both passes exactly
+        replay = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                                num_workers=1, seed=3)
+        np.testing.assert_array_equal(
+            pass1, np.concatenate([b["i"] for b in replay]))
+        np.testing.assert_array_equal(
+            pass2, np.concatenate([b["i"] for b in replay]))
 
 
 class TestDeterministicInputPipeline:
