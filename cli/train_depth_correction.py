@@ -41,6 +41,7 @@ def main(argv=None) -> None:
         results_folder=cfg.results_folder,
         samples_folder=cfg.samples_folder,
         val_batch_size=cfg.val_batch_size,
+        num_workers=cfg.num_workers or None,
         seed=cfg.seed,
     )
 

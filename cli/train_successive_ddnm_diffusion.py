@@ -55,6 +55,7 @@ def main(argv=None) -> None:
         samples_folder=cfg.samples_folder,
         gt_log=cfg.gt_log,
         calculate_fid=cfg.calculate_fid,
+        num_workers=cfg.num_workers or None,
         seed=cfg.seed,
     )
 

@@ -79,6 +79,9 @@ class TrainConfig:
     results_folder: str = "./successive_ddnm_diffusion_results"
     samples_folder: str = "./successive_ddnm_diffusion_samples"
     calculate_fid: bool = False
+    # 0 = auto (os.cpu_count()), matching the reference's
+    # DataLoader(num_workers=cpu_count()) (sdd:1639-1644)
+    num_workers: int = 0
     seed: int = 0
 
 
@@ -97,6 +100,7 @@ class MaskTrainConfig:
     val_batch_size: int = 8
     results_folder: str = "./depth_correction_results"
     samples_folder: str = "./depth_correction_samples"
+    num_workers: int = 0  # 0 = auto (os.cpu_count()), dc:1132
     seed: int = 0
 
 

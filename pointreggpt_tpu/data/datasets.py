@@ -274,9 +274,9 @@ class PrefetchLoader:
         return n // self.batch_size if self.drop_last else -(-n //
                                                              self.batch_size)
 
-    def _index_batches(self) -> Iterator[List[int]]:
+    def _index_batches(self, start_epoch: int) -> Iterator[List[int]]:
+        epoch = start_epoch
         while True:
-            epoch = self._epoch
             # deterministic augmentation: datasets that derive their RNG
             # from (seed, epoch, index) learn the epoch here, before any
             # of the epoch's batches are decoded
@@ -291,12 +291,22 @@ class PrefetchLoader:
                     self.batch_size if self.drop_last else len(idx))
             for s in range(0, stop, self.batch_size):
                 yield list(idx[s:s + self.batch_size])
-            self._epoch = epoch + 1
+            epoch += 1
             if not self.infinite:
                 return
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor
+
+        # snapshot + advance the epoch on the CONSUMER side, before the
+        # producer thread starts: each __iter__ call owns exactly one epoch
+        # number, so a partially-consumed or abandoned finite iterator still
+        # leaves the next __iter__ a deterministic fresh permutation, and
+        # two overlapping __iter__ calls cannot race on the counter. (An
+        # infinite iterator advances a LOCAL counter per pass instead; the
+        # shared counter only seeds its first epoch.)
+        start_epoch = self._epoch
+        self._epoch = start_epoch + 1
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -308,12 +318,12 @@ class PrefetchLoader:
             try:
                 if self.num_workers > 1:
                     with ThreadPoolExecutor(self.num_workers) as pool:
-                        for batch_idx in self._index_batches():
+                        for batch_idx in self._index_batches(start_epoch):
                             items = list(
                                 pool.map(self.dataset.__getitem__, batch_idx))
                             q.put(collate(items))
                 else:
-                    for batch_idx in self._index_batches():
+                    for batch_idx in self._index_batches(start_epoch):
                         items = [self.dataset[i] for i in batch_idx]
                         q.put(collate(items))
             except BaseException as e:  # noqa: BLE001 - re-raised below

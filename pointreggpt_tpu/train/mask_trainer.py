@@ -42,8 +42,12 @@ def bce_loss(prob: Array, target: Array) -> Array:
     closest reachable floor on TPU where subnormals flush to zero).
 
     The floor matters: probabilities are clamped at fp32-tiny, not a loose
-    1e-7, so confidently-wrong saturated pixels keep their loss scale and
-    gradient instead of silently plateauing at loss 16.1 / grad 0.
+    1e-7, so confidently-wrong pixels keep their loss scale (and a live
+    gradient) all the way down to fp32-tiny probabilities instead of
+    silently plateauing at loss 16.1 / grad 0. Below fp32-tiny (sigmoid
+    underflow, logits under ~-88) ``jnp.maximum`` routes the subgradient
+    to the constant, so the gradient there is exactly 0 — finite, and
+    matching the saturated sigmoid chain whose derivative is 0 anyway.
     """
     tiny = jnp.finfo(jnp.float32).tiny
     log_p = jnp.maximum(jnp.log(jnp.maximum(prob, tiny)), -100.0)
@@ -71,7 +75,7 @@ class MaskTrainer:
                  results_folder: str = "./results",
                  samples_folder: str = "./samples",
                  grad_clip: float = 1.0,
-                 num_workers: int = 2,
+                 num_workers: Optional[int] = None,
                  val_batch_size: int = 8,
                  seed: int = 0,
                  mesh=None):
@@ -90,6 +94,11 @@ class MaskTrainer:
         self.batch_size = train_batch_size * n_dev
         self.val_batch_size = val_batch_size
 
+        # workers default to the host core count like the reference's
+        # DataLoader(num_workers=cpu_count()) (dc:1132, sdd:1639-1644)
+        if not num_workers:
+            import os as _os
+            num_workers = _os.cpu_count() or 1
         self.train_ds = PairedDepthDataset(folder, "train", image_size)
         self.val_ds = PairedDepthDataset(folder, "val", image_size)
         self.loader = PrefetchLoader(self.train_ds, self.batch_size,
@@ -286,6 +295,27 @@ class MaskTrainer:
         self.metrics["best"] = dict(meta.get("best_metrics", {}))
 
 
+def make_gif(path, frames_u8, *, frame_ms: int = 1000) -> None:
+    """Write a looping GIF with per-frame duration in MILLISECONDS.
+
+    The reference's make_gif (dc:133-138) passes ``duration=1000`` to
+    imageio, meaning 1000 ms per frame. imageio's ``duration`` unit flipped
+    between seconds (legacy GIF-PIL plugin) and milliseconds (pillow plugin,
+    imageio >= 2.28) across versions — a wrong unit silently makes
+    1000-*second* frames — so write through PIL directly, whose GIF
+    ``duration`` has always been milliseconds.
+
+    PIL merges identical *consecutive* frames, summing their durations
+    (same total cycle time, visually indistinguishable) — e.g. an
+    input==label pair becomes one 2000 ms frame.
+    """
+    from PIL import Image
+
+    imgs = [Image.fromarray(np.asarray(f)) for f in frames_u8]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=int(frame_ms), loop=0)
+
+
 class MaskTester:
     """Qualitative eval: input/output GIFs over 3DMatch test reprojections.
 
@@ -327,8 +357,6 @@ class MaskTester:
             bake.maybe_bake(state["params"], self.model.dtype))
 
     def test(self, *, limit: Optional[int] = None) -> None:
-        import imageio
-
         assert self.params is not None, "call load() first"
         ds = TestDataset(self.info, self.folder, self.image_size)
         n = len(ds) if limit is None else min(limit, len(ds))
@@ -346,7 +374,6 @@ class MaskTester:
 
             frames_in = [to_u8(item["input_img"]), to_u8(item["label_img"])]
             frames_out = [to_u8(corrected), to_u8(item["label_img"])]
-            imageio.mimsave(self.samples_folder / f"{idx:06d}-input.gif",
-                            frames_in, duration=1000, loop=0)
-            imageio.mimsave(self.samples_folder / f"{idx:06d}-output.gif",
-                            frames_out, duration=1000, loop=0)
+            make_gif(self.samples_folder / f"{idx:06d}-input.gif", frames_in)
+            make_gif(self.samples_folder / f"{idx:06d}-output.gif",
+                     frames_out)

@@ -99,7 +99,7 @@ class Trainer:
                  sample_on_save: bool = True,
                  calculate_fid: bool = False,
                  grad_clip: float = 1.0,
-                 num_workers: int = 2,
+                 num_workers: Optional[int] = None,
                  seed: int = 0,
                  mesh=None):
         self.model = model
@@ -136,7 +136,12 @@ class Trainer:
                 f"global batch {train_batch_size} must divide over "
                 f"{n_dev} devices")
 
-        # dataset / loader
+        # dataset / loader; workers default to the host core count like the
+        # reference's DataLoader(num_workers=cpu_count()) (sdd:1639-1644) —
+        # PNG decode is the host hot path and must feed the device step
+        if not num_workers:
+            import os as _os
+            num_workers = _os.cpu_count() or 1
         self.ds = DepthDataset(folder, self.image_size, gt_log=gt_log,
                                augment_horizontal_flip=augment_horizontal_flip)
         self.dl = iter(

@@ -269,10 +269,53 @@ class TestMaskTester:
             for leaf in jax.tree_util.tree_leaves(tester.params):
                 assert isinstance(leaf, jax.Array), type(leaf)
             tester.test(limit=1)
+            item = patched(info, folder, 32)[0]
         finally:
             mt.TestDataset = orig
         assert (tmp_path / "samples/000000-input.gif").exists()
         assert (tmp_path / "samples/000000-output.gif").exists()
+
+        # frame semantics: ~1000 MILLISECOND frames (imageio's duration=
+        # flips seconds<->ms across versions, dc:133-138 means ms), loop 0,
+        # and the frames carry [shown, label] content
+        from PIL import Image, ImageSequence
+
+        from pointreggpt_tpu.core import imageio16
+
+        def read_gif(path):
+            im = Image.open(path)
+            frames = [np.asarray(f.convert("L"))
+                      for f in ImageSequence.Iterator(im)]
+            im.seek(0)
+            durations = []
+            for f in ImageSequence.Iterator(im):
+                durations.append(f.info.get("duration"))
+            return frames, durations, im.info.get("loop")
+
+        frames_in, dur_in, loop_in = read_gif(
+            tmp_path / "samples/000000-input.gif")
+        frames_out, dur_out, loop_out = read_gif(
+            tmp_path / "samples/000000-output.gif")
+        label_u8 = imageio16.to_uint8_image(item["label_img"][..., 0])
+        input_u8 = imageio16.to_uint8_image(item["input_img"][..., 0])
+        # corrected (all-zeroed by the untrained 0.99 threshold) != label,
+        # so the output GIF keeps both 1000 ms frames; the input GIF's
+        # input==label frames legally merge into one 2000 ms frame (PIL
+        # folds identical consecutive frames — same total cycle time)
+        assert len(frames_out) == 2
+        assert dur_out == [1000, 1000]
+        assert loop_out == 0
+        if np.array_equal(input_u8, label_u8):
+            assert len(frames_in) == 1 and dur_in == [2000]
+        else:
+            assert len(frames_in) == 2 and dur_in == [1000, 1000]
+        np.testing.assert_array_equal(frames_in[0], input_u8)
+        np.testing.assert_array_equal(frames_out[1], label_u8)
+        # output frame 0 is the corrected input: every pixel either kept
+        # from the input or zeroed by the mask
+        kept = frames_out[0] == input_u8
+        zeroed = frames_out[0] == 0
+        assert (kept | zeroed).all()
 
 
 class TestPrefetchLoaderErrors:
@@ -328,6 +371,26 @@ class TestFiniteLoaderReshuffles:
             pass1, np.concatenate([b["i"] for b in replay]))
         np.testing.assert_array_equal(
             pass2, np.concatenate([b["i"] for b in replay]))
+
+    def test_abandoned_iterator_still_deterministic(self):
+        """Each __iter__ owns one epoch number, captured on the CONSUMER
+        side before the producer thread starts (ADVICE r3): breaking out of
+        a pass early must not let the producer thread race the counter —
+        the next full pass is exactly the permutation a fully-consumed
+        second pass would have produced."""
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        ref = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                             num_workers=1, seed=3)
+        _ = np.concatenate([b["i"] for b in ref])
+        pass2_full = np.concatenate([b["i"] for b in ref])
+
+        loader = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                                num_workers=1, seed=3)
+        for _ in loader:  # abandon epoch 0 after ONE batch
+            break
+        np.testing.assert_array_equal(
+            pass2_full, np.concatenate([b["i"] for b in loader]))
 
 
 class TestDeterministicInputPipeline:
