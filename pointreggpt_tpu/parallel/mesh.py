@@ -30,11 +30,26 @@ Array = jax.Array
 def maybe_initialize_distributed() -> None:
     """Initialize JAX multi-host (DCN) if a coordinator is configured.
 
-    No-op for single-host runs. Honors the standard JAX env vars
-    (JAX_COORDINATOR_ADDRESS etc.) or explicit args via env.
+    No-op for single-host runs (and when already initialized). The
+    Accelerate-launch equivalent (reference README.md:120-130): a bare
+    multi-host run sets ``JAX_COORDINATOR_ADDRESS`` plus
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` per process and every CLI
+    joins the coordination service before touching devices. The values are
+    passed to :func:`jax.distributed.initialize` explicitly — JAX's own
+    auto-bootstrap only detects managed clusters (SLURM/OpenMPI/k8s/TPU
+    pods), not plain env wiring. Call this before any device use.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {
+        "coordinator_address": os.environ["JAX_COORDINATOR_ADDRESS"]}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
