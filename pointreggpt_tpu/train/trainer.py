@@ -100,6 +100,7 @@ class Trainer:
                  calculate_fid: bool = False,
                  grad_clip: float = 1.0,
                  num_workers: Optional[int] = None,
+                 track_losses: bool = False,
                  seed: int = 0,
                  mesh=None):
         self.model = model
@@ -128,6 +129,12 @@ class Trainer:
 
             self._fid_extractor = InceptionFeatures()
         self._last_batch = None
+        # loss tracking for learning assertions (drives/tests): losses stay
+        # ON DEVICE inside the loop — a float() per step would sync the
+        # host — and transfer once, stacked, when train() returns. Off by
+        # default: the production 2M-step loop must not accumulate arrays.
+        self.track_losses = track_losses
+        self.loss_hist: list = []
 
         self.mesh = mesh if mesh is not None else M.create_mesh()
         n_dev = int(np.prod([self.mesh.devices.size]))
@@ -243,6 +250,7 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed + 1)
         step = int(self.state.step)
         t0 = time.time()
+        device_losses = []
         while step < self.train_num_steps:
             batch = next(self.dl)
             if self.calculate_fid:
@@ -251,6 +259,8 @@ class Trainer:
             self.state, loss = self._train_step(self.state,
                                                 self._reshape_accum(batch),
                                                 sub)
+            if self.track_losses:
+                device_losses.append(loss)
             step += 1
             if step % log_every == 0:
                 loss_v = float(loss)
@@ -262,6 +272,9 @@ class Trainer:
                 t0 = time.time()
             if step != 0 and step % self.save_and_sample_every == 0:
                 self._save_and_sample(step)
+        if device_losses:
+            self.loss_hist.extend(
+                float(v) for v in np.asarray(jnp.stack(device_losses)))
         self.logger.info("training complete")
 
     # ------------------------------------------------------------------

