@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import pickle
 import shutil
+from contextlib import nullcontext
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -244,10 +245,25 @@ class Generator:
                 shard the range automatically instead of via manual
                 -start/-stop bookkeeping (generate_dataset.py:16-29).
         """
-        H = self.image_size
+        from pointreggpt_tpu.utils import profiling
+
         cap = self.memory_capacity
         self._load_depth_correction()
         assert self.ema_params is not None, "call load() first"
+
+        # PRGPT_PROFILE=<dir> (SURVEY.md §5.1): stage wall-clock breakdown
+        # printed at exit + a jax.profiler trace of two steady-state sample
+        # steps. "dispatch" is async launch latency; "host_write" overlaps
+        # the NEXT step's device compute by design (pipelined below), so a
+        # healthy profile shows host_write ≈ free unless it exceeds the
+        # chain time.
+        prof_dir = profiling.profile_dir()
+        timer = profiling.StageTimer() if prof_dir else None
+        # trace sample step 2 only (step 0 pays the chain compile; each
+        # step is a full 250-step DDNM chain, so one step is plenty)
+        capture = (profiling.StepTraceCapture(prof_dir, start=1, stop=3)
+                   if prof_dir else None)
+        stage = timer.stage if timer else (lambda name: nullcontext())
 
         if info_train is None:
             with open(self.train_info_path, "rb") as f:
@@ -312,35 +328,9 @@ class Generator:
             fragment_poses = [None] * batch
 
             # --- per-scene host setup: real frame -> memory seed ---------
-            for i, sid in enumerate(chunk):
-                scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
-                if scene_dir.exists():
-                    shutil.rmtree(scene_dir, ignore_errors=True)
-                scene_dir.mkdir(parents=True, exist_ok=True)
-
-                rel = self._scene_source(info_train, sid)
-                depth01, intr = self._read_scene_record(rel)
-                intrinsic[i] = intr
-                np.savetxt(scene_dir / "camera-intrinsics.txt", intr)
-
-                # save the real frame image (sample 0)
-                from PIL import Image
-                Image.fromarray(imageio16.to_uint8_image(depth01)).save(
-                    scene_dir / "sample-000000.image.png")
-
-                pc = G.point_cloud_np(depth01 * 10.0, intr, clip=(0.5, 10.0))
-                inside = np.all((pc >= BBOX_MIN) & (pc <= BBOX_MAX), axis=-1)
-                pc = pc[inside]
-                n = min(pc.shape[0], cap)
-                mem_pts[i, :n] = pc[:n]
-                mem_valid[i, :n] = True
-
-                # sample-000000.cloud.ply: crop + voxel 0.025 (sdd:2492-2500)
-                pj, vj = P.voxel_downsample(
-                    jnp.asarray(mem_pts[i]), jnp.asarray(mem_valid[i]),
-                    save_voxel_size)
-                plyio.write_ply(scene_dir / "sample-000000.cloud.ply",
-                                np.asarray(pj)[np.asarray(vj)])
+            with stage("scene_setup"):
+                self._setup_chunk(chunk, info_train, intrinsic, mem_pts,
+                                  mem_valid, save_voxel_size)
 
             # shard the scene batch over the local mesh (replicated
             # fallback when batch % device count != 0, e.g. a tail chunk)
@@ -356,22 +346,70 @@ class Generator:
             for sample_idx in range(num_samples):
                 key, sub = jax.random.split(key)
                 ema_p, dc_p = device_params()
-                (pose, images_raw, images_rpj, images, world, world_valid,
-                 mem_pts_j, mem_valid_j, overflow) = step_fn(
-                     ema_p, dc_p, mem_pts_j, mem_valid_j,
-                     intr_j, param_cond, sub)
+                with stage("dispatch"), profiling.annotate("generator_step"):
+                    (pose, images_raw, images_rpj, images, world, world_valid,
+                     mem_pts_j, mem_valid_j, overflow) = step_fn(
+                         ema_p, dc_p, mem_pts_j, mem_valid_j,
+                         intr_j, param_cond, sub)
                 if pending is not None:
+                    with stage("host_write"):
+                        self._write_sample_outputs(
+                            chunk, pending[0], num_samples, pending[1],
+                            fragment_clouds, fragment_poses, save_voxel_size,
+                            verbose)
+                pending = (sample_idx, (pose, images_raw, images_rpj, images,
+                                        world, world_valid, overflow))
+                if capture is not None:
+                    capture.tick()
+            if pending is not None:
+                with stage("host_write"):
                     self._write_sample_outputs(
                         chunk, pending[0], num_samples, pending[1],
                         fragment_clouds, fragment_poses, save_voxel_size,
                         verbose)
-                pending = (sample_idx, (pose, images_raw, images_rpj, images,
-                                        world, world_valid, overflow))
-            if pending is not None:
-                self._write_sample_outputs(
-                    chunk, pending[0], num_samples, pending[1],
-                    fragment_clouds, fragment_poses, save_voxel_size,
-                    verbose)
+        if capture is not None:
+            capture.close()
+        if timer is not None:
+            print(f"profile stages (trace in {prof_dir}):\n"
+                  + timer.summary())
+
+    # ------------------------------------------------------------------
+    def _setup_chunk(self, chunk, info_train, intrinsic, mem_pts, mem_valid,
+                     save_voxel_size) -> None:
+        """Per-scene host setup for one chunk: real frame -> memory seed
+        (+ camera-intrinsics.txt / sample 0 image / seed cloud PLY,
+        sdd:2441-2500). Fills ``intrinsic``/``mem_pts``/``mem_valid``
+        in place."""
+        cap = self.memory_capacity
+        for i, sid in enumerate(chunk):
+            scene_dir = self.samples_folder / f"scene-{sid:0>6d}"
+            if scene_dir.exists():
+                shutil.rmtree(scene_dir, ignore_errors=True)
+            scene_dir.mkdir(parents=True, exist_ok=True)
+
+            rel = self._scene_source(info_train, sid)
+            depth01, intr = self._read_scene_record(rel)
+            intrinsic[i] = intr
+            np.savetxt(scene_dir / "camera-intrinsics.txt", intr)
+
+            # save the real frame image (sample 0)
+            from PIL import Image
+            Image.fromarray(imageio16.to_uint8_image(depth01)).save(
+                scene_dir / "sample-000000.image.png")
+
+            pc = G.point_cloud_np(depth01 * 10.0, intr, clip=(0.5, 10.0))
+            inside = np.all((pc >= BBOX_MIN) & (pc <= BBOX_MAX), axis=-1)
+            pc = pc[inside]
+            n = min(pc.shape[0], cap)
+            mem_pts[i, :n] = pc[:n]
+            mem_valid[i, :n] = True
+
+            # sample-000000.cloud.ply: crop + voxel 0.025 (sdd:2492-2500)
+            pj, vj = P.voxel_downsample(
+                jnp.asarray(mem_pts[i]), jnp.asarray(mem_valid[i]),
+                save_voxel_size)
+            plyio.write_ply(scene_dir / "sample-000000.cloud.ply",
+                            np.asarray(pj)[np.asarray(vj)])
 
     # ------------------------------------------------------------------
     def _write_sample_outputs(self, chunk, sample_idx, num_samples, outs,

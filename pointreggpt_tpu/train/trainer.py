@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import time
+from contextlib import nullcontext
 from functools import partial
 from pathlib import Path
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -246,24 +247,41 @@ class Trainer:
         host->device transfer behind the previous step's compute — measured
         45 -> 80 img/s on a tunneled chip where the 32-image upload costs
         ~280 ms). ``float(loss)`` still syncs, but only every log_every.
+
+        ``PRGPT_PROFILE=<dir>`` (SURVEY.md §5.1): per-stage wall-clock
+        breakdown (load_batch = host decode wait / dispatch = upload +
+        async step launch) printed at exit, plus a jax.profiler device
+        trace of steps 3-4 written under <dir>. Stage times are dispatch
+        latencies, not device busy time — the device timeline lives in
+        the trace.
         """
+        from pointreggpt_tpu.utils import profiling
+
+        prof_dir = profiling.profile_dir()
+        timer = profiling.StageTimer() if prof_dir else None
+        capture = (profiling.StepTraceCapture(prof_dir)
+                   if prof_dir else None)
+        stage = timer.stage if timer else (lambda name: nullcontext())
+
         key = jax.random.PRNGKey(self.seed + 1)
         step = int(self.state.step)
         t0 = time.time()
         device_losses = []
         while step < self.train_num_steps:
-            batch = next(self.dl)
+            with stage("load_batch"):
+                batch = next(self.dl)
             if self.calculate_fid:
                 self._last_batch = batch
             key, sub = jax.random.split(key)
-            self.state, loss = self._train_step(self.state,
-                                                self._reshape_accum(batch),
-                                                sub)
+            with stage("dispatch"), profiling.annotate("train_step"):
+                self.state, loss = self._train_step(
+                    self.state, self._reshape_accum(batch), sub)
             if self.track_losses:
                 device_losses.append(loss)
             step += 1
             if step % log_every == 0:
-                loss_v = float(loss)
+                with stage("loss_sync"):
+                    loss_v = float(loss)
                 rate = log_every * self.batch_size * \
                     self.gradient_accumulate_every / (time.time() - t0)
                 self.logger.info(
@@ -271,10 +289,19 @@ class Trainer:
                     f"loss {loss_v:.4f} ({rate:.1f} img/s)")
                 t0 = time.time()
             if step != 0 and step % self.save_and_sample_every == 0:
-                self._save_and_sample(step)
+                with stage("save_and_sample"):
+                    self._save_and_sample(step)
+            if capture is not None:
+                capture.tick()
+        if capture is not None:
+            capture.close()
         if device_losses:
             self.loss_hist.extend(
                 float(v) for v in np.asarray(jnp.stack(device_losses)))
+        if timer is not None:
+            jax.block_until_ready(self.state.params)
+            self.logger.info(
+                f"profile stages (trace in {prof_dir}):\n" + timer.summary())
         self.logger.info("training complete")
 
     # ------------------------------------------------------------------

@@ -14,11 +14,24 @@ The reference's only observability is tqdm postfixes; here we expose:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
 
 import jax
+
+
+def profile_dir() -> Optional[str]:
+    """The ``PRGPT_PROFILE`` output directory, or None when profiling is off.
+
+    Setting ``PRGPT_PROFILE=<dir>`` turns on stage timing + a device trace
+    capture in the production loops (Trainer.train, Generator.generate):
+    each prints a StageTimer breakdown at exit and drops a
+    TensorBoard-compatible ``jax.profiler`` trace of a few steady-state
+    steps under ``<dir>``.
+    """
+    return os.environ.get("PRGPT_PROFILE") or None
 
 
 @contextlib.contextmanager
@@ -30,6 +43,36 @@ def trace(log_dir: str, *, create_perfetto_link: bool = False) -> Iterator[None]
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class StepTraceCapture:
+    """Capture a ``jax.profiler`` trace of steps [start, stop) of a loop.
+
+    Drives ``start_trace``/``stop_trace`` from per-step ``tick()`` calls —
+    call ``tick()`` at the END of each loop iteration — so loops need no
+    structural changes; ``close()`` (idempotent) stops a still-open trace
+    when the loop ends before ``stop``.
+    """
+
+    def __init__(self, log_dir: str, *, start: int = 2, stop: int = 5):
+        self.log_dir = log_dir
+        self.start = start
+        self.stop = stop
+        self._step = 0
+        self._tracing = False
+
+    def tick(self) -> None:
+        if self._step == self.start and not self._tracing:
+            jax.profiler.start_trace(self.log_dir)
+            self._tracing = True
+        self._step += 1
+        if self._step >= self.stop:
+            self.close()
+
+    def close(self) -> None:
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
 
 
 def annotate(name: str):
