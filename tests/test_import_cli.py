@@ -179,3 +179,77 @@ class TestImportDepthCorrection:
     def test_requires_an_input(self, import_cli):
         with pytest.raises(SystemExit):
             import_cli.main([])
+
+
+@pytest.mark.slow
+class TestValidateReferenceWeightsHarness:
+    """tools/validate_reference_weights.py (VERDICT r3 missing #2): the
+    one-command parity verdict a user with the released .pt files runs.
+    Exercised here with checkpoints produced by the REAL reference classes
+    (random weights) — the same methodology as the import tests."""
+
+    def _harness(self, monkeypatch):
+        monkeypatch.syspath_prepend(os.path.join(
+            os.path.dirname(CLI_DIR), "tools"))
+        import validate_reference_weights as v
+        return importlib.reload(v)
+
+    def _make_pts(self, ref, tmp_path):
+        sdd, dc = ref["sdd"], ref["dc"]
+        torch.manual_seed(21)
+        ema = sdd.Unet(dim=8, param_cond_dim=4, dim_mults=(1, 2),
+                       channels=1).eval()
+        dpath = tmp_path / "model-official.pt"
+        torch.save({
+            "step": 1,
+            "model": {f"model.{k}": v for k, v in ema.state_dict().items()},
+            "opt": {"state": {}, "param_groups": []},
+            "ema": {f"ema_model.model.{k}": v
+                    for k, v in ema.state_dict().items()},
+            "scaler": None,
+        }, str(dpath))
+        torch.manual_seed(22)
+        tmask = dc.MaskUnet(dim=8, dim_mults=(1, 2)).eval()
+        dcpath = tmp_path / "model-best.pt"
+        torch.save({
+            "epoch": 1, "model": tmask.state_dict(),
+            "opt": {"state": {}, "param_groups": []},
+            "scheduler": {}, "scaler": None, "loss_hist": [],
+            "metrics": {"best": {}, "current": {}},
+        }, str(dcpath))
+        return str(dpath), str(dcpath)
+
+    def test_pass_verdict(self, ref, tmp_path, monkeypatch, capsys):
+        v = self._harness(monkeypatch)
+        dpath, dcpath = self._make_pts(ref, tmp_path)
+        rc = v.main([
+            "--diffusion", dpath, "--depth_correction", dcpath,
+            "--dim", "8", "--dim_mults", "1,2",
+            "--dc_dim", "8", "--dc_dim_mults", "1,2",
+            "--image_size", "16", "--timesteps", "100",
+            "--sampling_timesteps", "4",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert out.count("PASS") == 2, out
+
+    def test_graceful_skip_missing_files(self, tmp_path, monkeypatch,
+                                         capsys):
+        v = self._harness(monkeypatch)
+        rc = v.main([
+            "--diffusion", str(tmp_path / "nope.pt"),
+            "--depth_correction", str(tmp_path / "nada.pt"),
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.count("SKIP") == 2, out
+
+    def test_graceful_skip_missing_reference(self, ref, tmp_path,
+                                             monkeypatch, capsys):
+        v = self._harness(monkeypatch)
+        dpath, _ = self._make_pts(ref, tmp_path)
+        rc = v.main(["--diffusion", dpath,
+                     "--reference_root", str(tmp_path / "absent")])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "SKIP: reference checkout not found" in out
