@@ -1,114 +1,11 @@
-"""Synthesize the depth-correction training dataset (input/label pairs).
-
-The reference trains MaskUNet on ``dataset/depth_correction`` pairs listed
-in ``metadata/{train,val}.json`` but ships neither the data nor the script
-that builds it (the train.json blob is missing from its checkout,
-SURVEY.md §2.3 "Metadata assets"). This tool closes that gap: for each
-3DMatch train pair it re-projects the source frame into the target view
-(producing the point-penetration artifacts MaskUNet learns to mask) and
-writes
-
-    data/{idx:06d}-input.depth.png   re-projected (artifact-bearing) depth
-    data/{idx:06d}-label.depth.png   real target depth
-    metadata/{train,val}.json        [{"input_path", "label_path"}, ...]
-
-matching PairedDepthDataset's contract exactly (dc:910-951; the
-|label - input| < 0.005 keep-mask is derived at load time).
-
-Re-projection runs batched on device (core.geometry.reproject).
-"""
-
-import argparse
-import json
-import os
-import pickle
-from pathlib import Path
+"""Repo-layout wrapper (the reference's top-level script shape); the
+implementation lives in pointreggpt_tpu.cli.make_depth_correction_data and is also installed
+as a prgpt-* console script."""
 
 import _path  # noqa: F401
 
-import numpy as np
-
-def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data", default="/path/to/3DMatch-RGBD/train",
-                        help="3DMatch RGB-D train root")
-    parser.add_argument("--train_info",
-                        default="./dataset/indoor/metadata/train_info.pkl")
-    parser.add_argument("--data_root", default="./dataset/indoor/data",
-                        help="fragment .info.txt root")
-    parser.add_argument("--out", default="./dataset/depth_correction")
-    parser.add_argument("--image_size", default=256, type=int)
-    parser.add_argument("--num_pairs", default=2000, type=int)
-    parser.add_argument("--val_fraction", default=0.05, type=float)
-    parser.add_argument("--seed", default=0, type=int)
-    return parser
-
-
-def main(argv=None):
-    args = build_parser().parse_args(argv)
-
-    import jax.numpy as jnp
-
-    from pointreggpt_tpu.core import imageio16
-    from pointreggpt_tpu.core.geometry import intrinsic_transform, reproject
-
-    with open(args.train_info, "rb") as f:
-        info = pickle.load(f)
-
-    out = Path(args.out)
-    (out / "data").mkdir(parents=True, exist_ok=True)
-    (out / "metadata").mkdir(parents=True, exist_ok=True)
-
-    rng = np.random.default_rng(args.seed)
-    order = rng.permutation(len(info["src"]))[:args.num_pairs]
-
-    def frame_record(rel_path):
-        info_path = os.path.join(args.data_root,
-                                 rel_path.replace(".pth", ".info.txt"))
-        with open(info_path, "r") as f:
-            scene_name, seq_name, start, _ = f.readlines()[0].split()
-        scene_path = os.path.join(args.data, scene_name)
-        frame = os.path.join(scene_path, seq_name,
-                             "frame-{:0>6d}.depth.png".format(int(start)))
-        depth = imageio16.load_depth_model_space(frame, args.image_size)
-        pose = np.loadtxt(frame.replace("depth.png", "pose.txt"))
-        intr = intrinsic_transform(
-            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
-            resize=args.image_size, centercrop=args.image_size,
-        ).astype(np.float32)
-        return depth, pose, intr
-
-    entries = []
-    for n, idx in enumerate(order):
-        try:
-            src_depth, src_pose, intr = frame_record(info["src"][idx])
-            tgt_depth, tgt_pose, _ = frame_record(info["tgt"][idx])
-        except (OSError, ValueError) as e:
-            print(f"pair {idx}: skipped ({e})")
-            continue
-
-        relative = (np.linalg.inv(tgt_pose) @ src_pose).astype(np.float32)
-        depth_rpj, mask_rpj = reproject(
-            jnp.asarray(src_depth[None] * 10.0), jnp.asarray(intr[None]),
-            jnp.asarray(relative[None]))
-        input01 = np.asarray(depth_rpj)[0] * 0.1
-        input01 = np.where(np.asarray(mask_rpj)[0], input01, 0.0)
-
-        name_in = f"{n:06d}-input.depth.png"
-        name_lb = f"{n:06d}-label.depth.png"
-        imageio16.write_depth_png(out / "data" / name_in, input01)
-        imageio16.write_depth_png(out / "data" / name_lb, tgt_depth)
-        entries.append({"input_path": name_in, "label_path": name_lb})
-        if (n + 1) % 100 == 0:
-            print(f"{n + 1}/{len(order)} pairs written")
-
-    n_val = max(1, int(len(entries) * args.val_fraction))
-    with open(out / "metadata/val.json", "w") as f:
-        json.dump(entries[:n_val], f)
-    with open(out / "metadata/train.json", "w") as f:
-        json.dump(entries[n_val:], f)
-    print(f"wrote {len(entries) - n_val} train / {n_val} val pairs to {out}")
-
+from pointreggpt_tpu.cli.make_depth_correction_data import *  # noqa: F401,F403
+from pointreggpt_tpu.cli.make_depth_correction_data import build_parser, main  # noqa: F401
 
 if __name__ == "__main__":
     main()
