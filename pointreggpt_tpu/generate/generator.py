@@ -113,6 +113,13 @@ class Generator:
         self.seed = seed
         self.ema_params = None
         self.dc_params = None
+        # jitted step programs cached per (has_refine_step, memory_voxel):
+        # a FRESH jax.jit object re-loads its executable through the axon
+        # tunnel on first dispatch (~60 s measured even with the persistent
+        # compile cache warm), so generate() must reuse one wrapper across
+        # calls rather than rebuild per call (tools/profile_pipeline.py)
+        self._step_fns = {}
+        self._device_params = None  # (ema, dc) baked + replicated once
 
     # ------------------------------------------------------------------
     def load(self, milestone) -> None:
@@ -128,12 +135,13 @@ class Generator:
             {"params": target_params,
              "ema": {"params": target_params, "step": 0, "initted": False}})
         self.ema_params = state["ema"]["params"]
+        self._device_params = None
         if meta.get("version"):
             print(f"loading from version {meta['version']}")
 
     def _load_depth_correction(self) -> None:
         """Load depth-correction model-best (sdd:2339-2346)."""
-        if self.depth_correction_model is None:
+        if self.depth_correction_model is None or self.dc_params is not None:
             return
         dummy = self.depth_correction_model.init(
             jax.random.PRNGKey(0),
@@ -143,6 +151,7 @@ class Generator:
             {"epoch": 0,
              "params": jax.tree_util.tree_map(np.asarray, dummy)})
         self.dc_params = state["params"]
+        self._device_params = None
 
     # ------------------------------------------------------------------
     def _build_step_fn(self, has_refine_step: bool, memory_voxel: float):
@@ -269,26 +278,31 @@ class Generator:
             with open(self.train_info_path, "rb") as f:
                 info_train = pickle.load(f)
 
-        step_fn = self._build_step_fn(has_refine_step, memory_voxel_size)
+        step_key = (bool(has_refine_step), float(memory_voxel_size))
+        step_fn = self._step_fns.get(step_key)
+        if step_fn is None:
+            step_fn = self._step_fns[step_key] = self._build_step_fn(
+                has_refine_step, memory_voxel_size)
         # params replicated on every local chip; the scene batch is sharded
-        # on the data axis below (mesh-DP generation). Replication is lazy:
-        # a fully-resumed run (every chunk skipped) never pays the ~150 MB
-        # param transfer.
-        ema_params = dc_params = None
+        # on the data axis below (mesh-DP generation). Replication is lazy
+        # (a fully-resumed run — every chunk skipped — never pays the
+        # ~150 MB param transfer) and cached across generate() calls
+        # (invalidated by load()/_load_depth_correction()).
 
         def device_params():
-            nonlocal ema_params, dc_params
-            if ema_params is None:
+            if self._device_params is None:
                 ema_params = M.replicate(
                     self.mesh, bake.maybe_bake(self.ema_params,
                                                self.model.dtype))
+                dc_params = None
                 if self.dc_params is not None:
                     dc_params = M.replicate(
                         self.mesh,
                         bake.maybe_bake(
                             self.dc_params,
                             self.depth_correction_model.dtype))
-            return ema_params, dc_params
+                self._device_params = (ema_params, dc_params)
+            return self._device_params
 
         # fold the process index so multi-host shards draw distinct poses
         key = jax.random.fold_in(

@@ -88,6 +88,12 @@ class Tester:
         self._sample_uncond_fn = jax.jit(
             lambda p, k, pc: self.diffusion.sample(p, k, param_cond=pc))
         self._reproject_fn = jax.jit(self._reproject_impl)
+        # generate()'s memory-update programs, cached per (voxel_size,
+        # memory_capacity): a fresh jax.jit object re-loads its executable
+        # through the axon tunnel on first dispatch (~60 s measured with a
+        # warm persistent cache), so repeated generate() calls must reuse
+        # one wrapper (see generate/generator.py Generator._step_fns)
+        self._generate_fns = {}
 
     def _reproject_impl(self, images01, intrinsic, pose, apply_occlusion):
         depth, mask = G.reproject(images01[..., 0] * 10.0, intrinsic, pose)
@@ -257,15 +263,9 @@ class Tester:
                     np.concatenate(overview_rows, axis=0), "gray")
 
     # ------------------------------------------------------------------
-    def generate(self, num_scenes: int, num_samples: int,
-                 voxel_size: float = 0.005,
-                 memory_capacity: int = 1 << 18) -> None:
-        """Scene-memory successive generation (sdd:2099-2247): each step
-        re-projects the accumulated memory cloud under a random pose."""
+    def _build_generate_fns(self, voxel_size: float, memory_capacity: int):
+        """The three jitted memory programs behind :meth:`generate`."""
         H = self.image_size
-        key = jax.random.PRNGKey(self.seed)
-        done = 0
-        b_idx = 0
 
         @jax.jit
         def splat_memory(mem_pts, mem_valid, pose, intrinsic):
@@ -309,6 +309,24 @@ class Tester:
             # sdd:2660-2680)
             return P.keep_nearest(down, down_valid, memory_capacity,
                                   valid_is_prefix=True)
+
+        return splat_memory, save_downsample, update_memory
+
+    # ------------------------------------------------------------------
+    def generate(self, num_scenes: int, num_samples: int,
+                 voxel_size: float = 0.005,
+                 memory_capacity: int = 1 << 18) -> None:
+        """Scene-memory successive generation (sdd:2099-2247): each step
+        re-projects the accumulated memory cloud under a random pose."""
+        key = jax.random.PRNGKey(self.seed)
+        done = 0
+        b_idx = 0
+
+        fns = self._generate_fns.get((float(voxel_size), memory_capacity))
+        if fns is None:
+            fns = self._build_generate_fns(voxel_size, memory_capacity)
+            self._generate_fns[(float(voxel_size), memory_capacity)] = fns
+        splat_memory, save_downsample, update_memory = fns
 
         overview_rows = []  # plasma overview grid rows (sdd:2237-2246)
         while done < num_scenes:

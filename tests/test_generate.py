@@ -185,6 +185,59 @@ class TestGenerator:
         for name in ("scene_setup", "dispatch", "host_write"):
             assert name in out, f"stage {name} missing from summary:\n{out}"
 
+    def test_step_fn_and_device_params_cached_across_calls(
+            self, tmp_path, monkeypatch):
+        """Repeated generate() calls must reuse ONE jitted step program and
+        ONE replicated param tree: a fresh jax.jit object re-loads its
+        executable through the axon tunnel on first dispatch (~60 s
+        measured, tools/profile_pipeline.py), which turned the 7.8 s
+        steady-state step into ~30 s in short runs."""
+        monkeypatch.chdir(tmp_path)
+        folder, info = make_3dmatch_tree(tmp_path)
+
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=4,
+            objective="pred_x0", beta_schedule="sigmoid",
+            ddim_sampling_eta=1.0)
+
+        gen = Generator(
+            model, diffusion, folder, batch_size=2,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        from pointreggpt_tpu.train import ema as ema_lib
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+
+        gen.load(1)
+        gen.generate(0, 2, num_samples=1, has_refine_step=False,
+                     info_train=info, verbose=False)
+        assert len(gen._step_fns) == 1
+        step_fn = next(iter(gen._step_fns.values()))
+        dev_params = gen._device_params
+        assert dev_params is not None
+
+        # a second call over fresh scenes reuses both caches (identity)
+        gen.generate(2, 4, num_samples=1, has_refine_step=False,
+                     info_train=info, verbose=False)
+        assert len(gen._step_fns) == 1
+        assert next(iter(gen._step_fns.values())) is step_fn
+        assert gen._device_params is dev_params
+
+        # reloading host params must invalidate the device-param cache
+        gen.load(1)
+        assert gen._device_params is None
+
     def test_resume_skips_completed(self, tmp_path, monkeypatch, capsys):
         monkeypatch.chdir(tmp_path)
         folder, info = make_3dmatch_tree(tmp_path, n_scenes=1)

@@ -96,6 +96,16 @@ class TestTester:
         assert grid.shape[:2] == (32 * 2, 32 * 3 * 2)
         assert _np.abs(grid[..., 0] - grid[..., 2]).max() > 0
 
+        # the three jitted memory programs are cached per (voxel, capacity)
+        # and reused across generate() calls — a fresh jax.jit object
+        # re-loads its executable through the axon tunnel (~60 s measured,
+        # tools/profile_pipeline.py)
+        assert len(tester._generate_fns) == 1
+        fns = tester._generate_fns[(0.05, 4096)]
+        tester.generate(num_scenes=1, num_samples=1, voxel_size=0.05,
+                        memory_capacity=4096)
+        assert tester._generate_fns[(0.05, 4096)] is fns
+
 
 class TestDepthImageNp:
     def test_roundtrip_with_point_cloud_np(self):

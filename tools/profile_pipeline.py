@@ -1,0 +1,149 @@
+"""TPU drive: the FULL production pipeline, end to end, wall-clock.
+
+VERDICT r3 weak #4: bench.py times the fused device step only; the
+Generator pipelines host PNG/PLY writes under the 7.4 s chain, but no
+measurement proved the overlap holds at production sizes. This runs the
+real thing on real-sized data:
+
+  Generator.generate (scene setup -> chains -> ALL host writes)
+    -> generate_gt (PLY read + voxel + batched overlap + TSV per scene)
+    -> gather_gt (metadata/gt.log)
+
+at the production configuration (dim-64 256^2 bf16 U-Net, 250-step
+DDIM+DDNM chain, MaskUNet x2, batch 8 scenes, memory 1<<18, voxel 0.002)
+on synthetic 480x640 source frames, and reports:
+
+  - pipeline pairs/min (everything included) vs the device-step-only
+    number bench.py reports,
+  - the gt stage's pairs/s,
+  - the per-stage breakdown via PRGPT_PROFILE wiring (stage timer).
+
+Weights are random — throughput does not depend on weight values.
+"""
+
+import os
+import sys
+import time
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pointreggpt_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from test_generate import make_3dmatch_tree
+
+    from pointreggpt_tpu.diffusion import GaussianDiffusion
+    from pointreggpt_tpu.generate.generator import Generator
+    from pointreggpt_tpu.generate.gt import gather_gt, generate_gt
+    from pointreggpt_tpu.models import DiffusionUNet, MaskUNet
+    from pointreggpt_tpu.train import checkpoint as ckpt
+    from pointreggpt_tpu.train import ema as ema_lib
+
+    batch = int(os.environ.get("PRGPT_BENCH_BATCH", "8"))
+    num_samples = int(os.environ.get("PRGPT_BENCH_SAMPLES", "4"))
+    image_size = 256
+    sampling_timesteps = 250
+
+    print(f"backend={jax.default_backend()} batch={batch} "
+          f"num_samples={num_samples}", flush=True)
+
+    tmp = Path(tempfile.mkdtemp(prefix="drive_pipeline_"))
+    os.chdir(tmp)
+    folder, info = make_3dmatch_tree(tmp, n_scenes=batch)
+
+    model = DiffusionUNet(dim=64, param_cond_dim=4, dim_mults=(1, 2, 4, 8),
+                          channels=1, dtype=jnp.bfloat16)
+    dc_model = MaskUNet(dim=64, dim_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+        image_size=image_size, timesteps=1000,
+        sampling_timesteps=sampling_timesteps, loss_type="l1",
+        objective="pred_x0", beta_schedule="sigmoid", ddim_sampling_eta=1.0,
+        is_ddnm_sampling=True)
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, image_size, image_size, 1)),
+                        jnp.zeros((1,)), jnp.zeros((1, 4)))
+    dc_params = dc_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, image_size, image_size, 1)))
+    ckpt.save_checkpoint(
+        tmp / "results/model-1.ckpt",
+        {"params": params, "ema": ema_lib.init(params)._asdict()})
+    ckpt.save_checkpoint(tmp / "dc_results/model-best.ckpt",
+                         {"epoch": 0, "params": dc_params})
+
+    dataset_name = "generated_dataset"
+    gen = Generator(
+        model, diffusion, folder, batch_size=batch,
+        results_folder=str(tmp / "results"),
+        samples_folder=str(tmp / dataset_name / "data"),
+        depth_correction_model=dc_model,
+        depth_correction_results=str(tmp / "dc_results"),
+        data_root=str(tmp / "dataset/indoor/data"),
+        memory_capacity=1 << 18)
+    gen.load(1)
+
+    # warm the compile caches OUTSIDE the timed window (a cold chain
+    # compile is 1-6 min on this host and amortizes to zero in production).
+    # PRGPT_PROFILE (if set) applies to the warm-up only: the jax.profiler
+    # step trace serializes the tunnel dispatch (~4x wall-clock), so the
+    # stage breakdown/trace must never share a window with the timing.
+    print("warm-up chunk (compiles)...", flush=True)
+    t0 = time.time()
+    gen.generate(0, batch, num_samples=2, has_refine_step=False,
+                 info_train=info, verbose=False)
+    print(f"warm-up: {time.time() - t0:.1f}s", flush=True)
+    os.environ.pop("PRGPT_PROFILE", None)
+
+    # timed: a fresh full chunk through generate() INCLUDING host writes.
+    # Bump the seed so every chain input differs from the warm-up — the
+    # tunnel memoizes identical (executable, args) calls (CLAUDE.md).
+    gen.seed += 1
+    import shutil
+    shutil.rmtree(tmp / dataset_name, ignore_errors=True)
+    t0 = time.time()
+    gen.generate(0, batch, num_samples=num_samples, has_refine_step=False,
+                 info_train=info, verbose=False)
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    generate_gt(dataset_name, 0, batch, num_samples=2, verbose=False)
+    gather_gt(dataset_name, 0, batch)
+    t_gt = time.time() - t0
+
+    gt_log = tmp / dataset_name / "metadata/gt.log"
+    assert gt_log.exists(), "gather_gt wrote no metadata/gt.log"
+    for sid in range(batch):
+        assert (tmp / dataset_name /
+                f"data/scene-{sid:06d}/gt.log").exists()
+    n_lines = len([ln for ln in gt_log.read_text().splitlines() if ln])
+    pairs = batch * num_samples
+    pipeline_ppm = pairs * 60.0 / (t_gen + t_gt)
+    device_est = pairs * 60.0 / (num_samples * 7.41)  # bench.py chain time
+    print(f"generate: {t_gen:.1f}s for {pairs} pairs "
+          f"({pairs * 60.0 / t_gen:.1f} pairs/min incl. writes)", flush=True)
+    # NOTE: random weights -> the generated cloud-1 fragments are sparse/
+    # empty, so this gt stage undershoots real work; the representative
+    # real-cloud number is tools/profile_gtlog.py (10.9 pairs/s at 45k pts)
+    print(f"gt stage: {t_gt:.1f}s ({pairs / t_gt:.1f} pairs/s), "
+          f"{n_lines} gt.log lines", flush=True)
+    print(f"PIPELINE: {pipeline_ppm:.1f} pairs/min end-to-end "
+          f"(device-step-only bench ~{device_est:.1f}); "
+          f"host overhead {(1 - pipeline_ppm / device_est) * 100:.1f}%",
+          flush=True)
+    print("PIPELINE DRIVE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
