@@ -27,6 +27,7 @@ import os
 import pickle
 import shutil
 from contextlib import nullcontext
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -47,6 +48,22 @@ BBOX_MIN = (-1.5, -1.5, 0.5)
 BBOX_MAX = (1.5, 1.5, 3.5)
 
 
+@lru_cache(maxsize=32)
+def _voxel_jit(capacity: int, voxel: float):
+    """One jitted voxel-downsample program per (padded size, voxel).
+
+    Eager ``P.voxel_downsample`` dispatches each primitive separately —
+    ~28 ms of tunnel round-trip each; one fused program is one dispatch
+    (same pattern as generate/gt.py). ``capacity`` only keys the cache
+    (shapes are baked into the traced program)."""
+
+    @jax.jit
+    def fn(pts, valid):
+        return P.voxel_downsample(pts, valid, voxel)
+
+    return fn
+
+
 def _voxel_downsample_host(pts_np: np.ndarray, voxel: float) -> np.ndarray:
     """Voxel-downsample an arbitrary-length host cloud, compacted.
 
@@ -57,8 +74,8 @@ def _voxel_downsample_host(pts_np: np.ndarray, voxel: float) -> np.ndarray:
     m = max(4096, 1 << (n - 1).bit_length())
     pts = np.zeros((m, 3), np.float32)
     pts[:n] = pts_np
-    pj, vj = P.voxel_downsample(jnp.asarray(pts),
-                                jnp.asarray(np.arange(m) < n), voxel)
+    pj, vj = _voxel_jit(m, float(voxel))(jnp.asarray(pts),
+                                         jnp.asarray(np.arange(m) < n))
     return np.asarray(pj)[np.asarray(vj)]
 
 
@@ -419,9 +436,8 @@ class Generator:
             mem_valid[i, :n] = True
 
             # sample-000000.cloud.ply: crop + voxel 0.025 (sdd:2492-2500)
-            pj, vj = P.voxel_downsample(
-                jnp.asarray(mem_pts[i]), jnp.asarray(mem_valid[i]),
-                save_voxel_size)
+            pj, vj = _voxel_jit(cap, float(save_voxel_size))(
+                jnp.asarray(mem_pts[i]), jnp.asarray(mem_valid[i]))
             plyio.write_ply(scene_dir / "sample-000000.cloud.ply",
                             np.asarray(pj)[np.asarray(vj)])
 

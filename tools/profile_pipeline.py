@@ -99,9 +99,14 @@ def main():
     # PRGPT_PROFILE (if set) applies to the warm-up only: the jax.profiler
     # step trace serializes the tunnel dispatch (~4x wall-clock), so the
     # stage breakdown/trace must never share a window with the timing.
+    # warm-up runs the SAME num_samples as the timed window: the fragment
+    # finalization buckets by power-of-two cloud size, so a different
+    # sample count hits a fresh voxel-program bucket (compile + tunnel
+    # executable load) inside the timed window (measured: 60.9 -> 50.9
+    # pairs/min when the warm-up used fewer samples)
     print("warm-up chunk (compiles)...", flush=True)
     t0 = time.time()
-    gen.generate(0, batch, num_samples=2, has_refine_step=False,
+    gen.generate(0, batch, num_samples=num_samples, has_refine_step=False,
                  info_train=info, verbose=False)
     print(f"warm-up: {time.time() - t0:.1f}s", flush=True)
     os.environ.pop("PRGPT_PROFILE", None)
