@@ -102,7 +102,17 @@ def main(argv=None):
         if (n + 1) % 100 == 0:
             print(f"{n + 1}/{len(order)} pairs written")
 
-    n_val = max(1, int(len(entries) * args.val_fraction))
+    # a usable output needs at least one train AND one val pair: with < 2
+    # entries (e.g. every pair hit the skip path above on a bad --data)
+    # exiting 0 with an empty/one-sided split would only fail later, inside
+    # the depth-correction Trainer's loader
+    if len(entries) < 2:
+        raise SystemExit(
+            f"only {len(entries)} usable pair(s) out of {len(order)} "
+            "sampled — need >= 2 for a train/val split; check --data / "
+            "--data_root (skipped pairs are logged above)")
+    n_val = min(len(entries) - 1,
+                max(1, int(len(entries) * args.val_fraction)))
     with open(out / "metadata/val.json", "w") as f:
         json.dump(entries[:n_val], f)
     with open(out / "metadata/train.json", "w") as f:

@@ -249,7 +249,7 @@ class PrefetchLoader:
                  shuffle: bool = True,
                  drop_last: bool = True,
                  infinite: bool = False,
-                 num_workers: int = 2,
+                 num_workers: Optional[int] = None,
                  prefetch: int = 2,
                  seed: int = 0):
         self.dataset = dataset
@@ -257,6 +257,12 @@ class PrefetchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.infinite = infinite
+        # workers default to the host core count like the reference's
+        # DataLoader(num_workers=cpu_count()) (sdd:1639-1644, dc:1132) —
+        # PNG decode is the host hot path and must feed the device step;
+        # the policy lives HERE so every consumer gets it
+        if not num_workers:
+            num_workers = os.cpu_count() or 1
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -311,6 +317,20 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        # set by the consumer's finally (normal exhaustion, an exception,
+        # or GeneratorExit when the iterator is abandoned/GC'd): unblocks a
+        # producer stuck on a full queue so an abandoned iterator cannot
+        # leak its thread + ~prefetch decoded batches + the worker pool
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # item decodes fan out over a thread pool (PNG decode is the
@@ -321,11 +341,13 @@ class PrefetchLoader:
                         for batch_idx in self._index_batches(start_epoch):
                             items = list(
                                 pool.map(self.dataset.__getitem__, batch_idx))
-                            q.put(collate(items))
+                            if not put(collate(items)):
+                                return
                 else:
                     for batch_idx in self._index_batches(start_epoch):
                         items = [self.dataset[i] for i in batch_idx]
-                        q.put(collate(items))
+                        if not put(collate(items)):
+                            return
             except BaseException as e:  # noqa: BLE001 - re-raised below
                 # surface decode failures in the CONSUMER (like torch
                 # DataLoader workers): swallowing them here would end a
@@ -333,14 +355,22 @@ class PrefetchLoader:
                 # IOError into a bare StopIteration in the train loop
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # the sentinel must use the same stoppable blocking put: the
+                # queue may be full on normal completion (put_nowait would
+                # drop it and strand the consumer on q.get() forever); if
+                # the consumer is already gone, stop is set and put returns
+                put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="prgpt-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()

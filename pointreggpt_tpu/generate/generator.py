@@ -130,6 +130,7 @@ class Generator:
         self.seed = seed
         self.ema_params = None
         self.dc_params = None
+        self._dc_stamp = None  # (mtime_ns, size) of the loaded model-best
         # jitted step programs cached per (has_refine_step, memory_voxel):
         # a FRESH jax.jit object re-loads its executable through the axon
         # tunnel on first dispatch (~60 s measured even with the persistent
@@ -157,17 +158,30 @@ class Generator:
             print(f"loading from version {meta['version']}")
 
     def _load_depth_correction(self) -> None:
-        """Load depth-correction model-best (sdd:2339-2346)."""
-        if self.depth_correction_model is None or self.dc_params is not None:
+        """Load depth-correction model-best (sdd:2339-2346).
+
+        Cached across generate() calls (re-reading + re-replicating the
+        params per call would pay the tunnel upload every time), but keyed
+        on the checkpoint file's (mtime, size): a model-best.ckpt
+        overwritten between calls — e.g. by a concurrent depth-correction
+        training run — is picked up on the next generate().
+        """
+        if self.depth_correction_model is None:
+            return
+        path = self.depth_correction_results / "model-best.ckpt"
+        st = path.stat()
+        stamp = (st.st_mtime_ns, st.st_size)
+        if self.dc_params is not None and self._dc_stamp == stamp:
             return
         dummy = self.depth_correction_model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, self.image_size, self.image_size, 1)))
         state, _ = ckpt.load_checkpoint(
-            self.depth_correction_results / "model-best.ckpt",
+            path,
             {"epoch": 0,
              "params": jax.tree_util.tree_map(np.asarray, dummy)})
         self.dc_params = state["params"]
+        self._dc_stamp = stamp
         self._device_params = None
 
     # ------------------------------------------------------------------
@@ -282,14 +296,20 @@ class Generator:
         # steps. "dispatch" is async launch latency; "host_write" overlaps
         # the NEXT step's device compute by design (pipelined below), so a
         # healthy profile shows host_write ≈ free unless it exceeds the
-        # chain time.
+        # chain time. Steps running UNDER the open trace are excluded from
+        # the breakdown (the tracer serializes tunnel dispatch ~4x wall —
+        # timing and tracing never share a window).
         prof_dir = profiling.profile_dir()
         timer = profiling.StageTimer() if prof_dir else None
         # trace sample step 2 only (step 0 pays the chain compile; each
         # step is a full 250-step DDNM chain, so one step is plenty)
         capture = (profiling.StepTraceCapture(prof_dir, start=1, stop=3)
                    if prof_dir else None)
-        stage = timer.stage if timer else (lambda name: nullcontext())
+
+        def stage(name):
+            if timer is None or (capture is not None and capture.tracing):
+                return nullcontext()
+            return timer.stage(name)
 
         if info_train is None:
             with open(self.train_info_path, "rb") as f:

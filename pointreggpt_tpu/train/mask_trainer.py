@@ -94,11 +94,8 @@ class MaskTrainer:
         self.batch_size = train_batch_size * n_dev
         self.val_batch_size = val_batch_size
 
-        # workers default to the host core count like the reference's
-        # DataLoader(num_workers=cpu_count()) (dc:1132, sdd:1639-1644)
-        if not num_workers:
-            import os as _os
-            num_workers = _os.cpu_count() or 1
+        # num_workers=None defaults to the host core count inside
+        # PrefetchLoader (dc:1132, sdd:1639-1644)
         self.train_ds = PairedDepthDataset(folder, "train", image_size)
         self.val_ds = PairedDepthDataset(folder, "val", image_size)
         self.loader = PrefetchLoader(self.train_ds, self.batch_size,

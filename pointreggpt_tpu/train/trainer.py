@@ -144,12 +144,8 @@ class Trainer:
                 f"global batch {train_batch_size} must divide over "
                 f"{n_dev} devices")
 
-        # dataset / loader; workers default to the host core count like the
-        # reference's DataLoader(num_workers=cpu_count()) (sdd:1639-1644) —
-        # PNG decode is the host hot path and must feed the device step
-        if not num_workers:
-            import os as _os
-            num_workers = _os.cpu_count() or 1
+        # dataset / loader; num_workers=None defaults to the host core
+        # count inside PrefetchLoader (sdd:1639-1644)
         self.ds = DepthDataset(folder, self.image_size, gt_log=gt_log,
                                augment_horizontal_flip=augment_horizontal_flip)
         self.dl = iter(
@@ -253,7 +249,9 @@ class Trainer:
         async step launch) printed at exit, plus a jax.profiler device
         trace of steps 3-4 written under <dir>. Stage times are dispatch
         latencies, not device busy time — the device timeline lives in
-        the trace.
+        the trace. Steps that run UNDER the open trace are excluded from
+        the stage breakdown: the tracer serializes tunnel dispatch (~4x
+        wall), so timing and tracing never share a window.
         """
         from pointreggpt_tpu.utils import profiling
 
@@ -261,7 +259,11 @@ class Trainer:
         timer = profiling.StageTimer() if prof_dir else None
         capture = (profiling.StepTraceCapture(prof_dir)
                    if prof_dir else None)
-        stage = timer.stage if timer else (lambda name: nullcontext())
+
+        def stage(name):
+            if timer is None or (capture is not None and capture.tracing):
+                return nullcontext()
+            return timer.stage(name)
 
         key = jax.random.PRNGKey(self.seed + 1)
         step = int(self.state.step)

@@ -61,6 +61,17 @@ class StepTraceCapture:
         self._step = 0
         self._tracing = False
 
+    @property
+    def tracing(self) -> bool:
+        """True while the jax.profiler trace is open.
+
+        Wall-clock timing (StageTimer) must skip steps that run under an
+        open trace: the tracer serializes tunnel dispatch (~4x wall on the
+        axon chip), so timed-while-traced stages misattribute the
+        bottleneck. The production loops gate their StageTimer on this.
+        """
+        return self._tracing
+
     def tick(self) -> None:
         if self._step == self.start and not self._tracing:
             jax.profiler.start_trace(self.log_dir)

@@ -238,6 +238,62 @@ class TestGenerator:
         gen.load(1)
         assert gen._device_params is None
 
+    def test_depth_correction_reloaded_when_checkpoint_overwritten(
+            self, tmp_path, monkeypatch):
+        """The dc-param cache is keyed on model-best.ckpt's (mtime, size):
+        a checkpoint overwritten between generate() calls — e.g. by a
+        concurrent depth-correction training run — must be picked up, while
+        an unchanged file keeps the cached tree (no re-read, no re-upload).
+        """
+        monkeypatch.chdir(tmp_path)
+        folder, _ = make_3dmatch_tree(tmp_path, n_scenes=1)
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        dc_model = MaskUNet(dim=8, dim_mults=(1, 2))
+        gen = Generator(
+            model, diffusion, folder, batch_size=1,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            depth_correction_model=dc_model,
+            depth_correction_results=str(tmp_path / "dc_results"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        dc_params = dc_model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, image_size, image_size, 1)))
+        ckpt.save_checkpoint(tmp_path / "dc_results/model-best.ckpt",
+                             {"epoch": 0, "params": dc_params})
+
+        gen._load_depth_correction()
+        first = gen.dc_params
+        assert first is not None
+        gen._device_params = object()  # stand-in for a replicated tree
+
+        # unchanged file: cached tree kept, device params untouched
+        gen._load_depth_correction()
+        assert gen.dc_params is first
+        assert gen._device_params is not None
+
+        # overwritten checkpoint: reloaded + device-param cache invalidated
+        dc_params2 = dc_model.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, image_size, image_size, 1)))
+        ckpt.save_checkpoint(tmp_path / "dc_results/model-best.ckpt",
+                             {"epoch": 1, "params": dc_params2})
+        gen._load_depth_correction()
+        assert gen.dc_params is not first
+        assert gen._device_params is None
+        leaf = jax.tree_util.tree_leaves(gen.dc_params)[0]
+        leaf2 = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, dc_params2))[0]
+        np.testing.assert_array_equal(np.asarray(leaf).ravel()[:4],
+                                      np.asarray(leaf2).ravel()[:4])
+
     def test_resume_skips_completed(self, tmp_path, monkeypatch, capsys):
         monkeypatch.chdir(tmp_path)
         folder, info = make_3dmatch_tree(tmp_path, n_scenes=1)
@@ -319,6 +375,31 @@ class TestMakeDepthCorrectionData:
         item = ds[0]
         assert item["input_img"].shape == (32, 32, 1)
         assert item["mask"].min() >= 0 and item["mask"].max() <= 1
+
+    def test_fewer_than_two_pairs_fails_loudly(self, tmp_path, monkeypatch):
+        """< 2 usable pairs cannot form a train/val split: the builder must
+        exit nonzero with a diagnostic, not write an empty train.json (or a
+        '-1 train pairs' summary) and only fail later inside the
+        depth-correction Trainer's loader."""
+        import pickle
+
+        from pointreggpt_tpu.cli import make_depth_correction_data as mkdc
+
+        folder, info = make_3dmatch_tree(tmp_path, n_scenes=2)
+        info_pkl = tmp_path / "train_info.pkl"
+        info_pkl.write_bytes(pickle.dumps(info))
+        with pytest.raises(SystemExit, match="need >= 2"):
+            mkdc.main(["--data", folder, "--train_info", str(info_pkl),
+                       "--data_root", str(tmp_path / "dataset/indoor/data"),
+                       "--out", str(tmp_path / "dc_one"), "--image_size",
+                       "32", "--num_pairs", "1"])
+        # 0 usable pairs (bad --data: every record hits the skip path)
+        with pytest.raises(SystemExit, match="need >= 2"):
+            mkdc.main(["--data", str(tmp_path / "nowhere"), "--train_info",
+                       str(info_pkl),
+                       "--data_root", str(tmp_path / "dataset/indoor/data"),
+                       "--out", str(tmp_path / "dc_zero"), "--image_size",
+                       "32", "--num_pairs", "4"])
 
 
 class TestSceneIndicesSharding:

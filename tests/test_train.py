@@ -3,6 +3,8 @@ running data-parallel over the 8 fake CPU devices."""
 
 import json
 import os
+import re
+import threading
 from pathlib import Path
 
 import jax
@@ -427,6 +429,12 @@ class TestProfilingWired:
         assert "profile stages" in out
         for name in ("load_batch", "dispatch"):
             assert name in out, f"stage {name} missing from summary:\n{out}"
+        # steps running under the open jax.profiler trace must be EXCLUDED
+        # from the stage breakdown (the tracer serializes tunnel dispatch
+        # ~4x wall): 6 steps, trace covers steps 4-5 -> 4 timed calls
+        m = re.search(r"dispatch: \S+ total / (\d+) calls", out)
+        assert m and m.group(1) == "4", (
+            f"traced steps leaked into the stage timer:\n{out}")
         traces = list(prof.rglob("*.xplane.pb"))
         assert traces, (
             f"no xplane trace written under {prof}: "
@@ -506,6 +514,35 @@ class TestFiniteLoaderReshuffles:
             break
         np.testing.assert_array_equal(
             pass2_full, np.concatenate([b["i"] for b in loader]))
+
+    def test_abandoned_iterator_releases_producer_thread(self):
+        """An abandoned iterator must not leak its producer thread: the
+        producer blocks on q.put into the bounded prefetch queue, and only
+        the consumer's finally (run on GeneratorExit when the generator is
+        closed/GC'd) unblocks it. Without that, every early `break` pins a
+        daemon thread + ~prefetch decoded batches (+ a worker pool) for the
+        life of the process."""
+        import gc
+        import time as _time
+
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        def n_producers():
+            return sum(t.name == "prgpt-prefetch" and t.is_alive()
+                       for t in threading.enumerate())
+
+        base = n_producers()
+        loader = PrefetchLoader(self._Ident(), batch_size=2, shuffle=False,
+                                num_workers=2, prefetch=1, seed=0)
+        it = iter(loader)
+        next(it)  # producer now blocked on the full queue
+        del it  # abandon: GC closes the generator -> GeneratorExit -> stop
+        gc.collect()
+        deadline = _time.monotonic() + 10.0
+        while n_producers() > base and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert n_producers() == base, (
+            "producer thread leaked after iterator abandonment")
 
 
 class TestDeterministicInputPipeline:
