@@ -27,20 +27,41 @@ import numpy as np
 _SRC = Path(__file__).resolve().parent / "csrc"
 
 
+def _source_tag() -> str:
+    """Short content hash of the C++ source, used in the .so file name.
+
+    Keying the binary by source hash (not mtime) means two installed
+    package versions — or a downgrade, where pip-restored source mtimes
+    can predate a cached build — never silently share one binary whose
+    exported symbols may not match the bindings.
+    """
+    import hashlib
+
+    cpp = _SRC / "pointreggpt_native.cpp"
+    try:
+        return hashlib.sha256(cpp.read_bytes()).hexdigest()[:12]
+    except OSError:
+        return "nosrc"
+
+
 def _lib_path() -> Path:
     """Build target for the shared library.
 
     Next to the source when writable (repo checkouts); otherwise a user
     cache dir — a pip-installed site-packages tree is often read-only,
     and the wheel ships only the .cpp (built on first use, g++ -O3).
+    The file name embeds a hash of the source, so a source change (or a
+    different installed version sharing the cache dir) always triggers a
+    fresh build instead of loading a stale binary.
     """
+    name = f"_pointreggpt_native-{_source_tag()}.so"
     if os.access(_SRC, os.W_OK):
-        return _SRC / "_pointreggpt_native.so"
+        return _SRC / name
     cache = Path(os.environ.get("XDG_CACHE_HOME",
                                 os.path.expanduser("~/.cache")))
     out = cache / "pointreggpt_native"
     out.mkdir(parents=True, exist_ok=True)
-    return out / "_pointreggpt_native.so"
+    return out / name
 
 
 _LIB_PATH = _lib_path()
@@ -80,11 +101,8 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        src = _SRC / "pointreggpt_native.cpp"
-        stale = (not _LIB_PATH.exists() or
-                 (src.exists() and
-                  src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
-        if stale and not _build():
+        # the .so name embeds the source hash, so existence IS freshness
+        if not _LIB_PATH.exists() and not _build():
             _build_failed = True
             return None
         try:

@@ -13,12 +13,33 @@ falls back to a float32 XLA einsum path (CPU tests, odd shapes).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+
+_warned_fallbacks: set = set()
+
+
+def _warn_fallback(site: str, exc: Exception) -> None:
+    """Log a swallowed Pallas trace-time failure once per site.
+
+    Same policy as ``ops.linear_attention._warn_fallback``: the try/except
+    around the Pallas path only covers *trace-time* errors; compile-time
+    failures (scoped-VMEM overflow) are prevented by the explicit ``n <=
+    1024`` guard in the dispatch condition. A silent ``pass`` would mask a
+    kernel regression as a quiet perf loss, so report the first occurrence
+    per call site."""
+    if site not in _warned_fallbacks:
+        _warned_fallbacks.add(site)
+        warnings.warn(
+            f"pointreggpt_tpu.ops.attention: Pallas {site} failed at trace "
+            f"time ({type(exc).__name__}: {exc}); using the XLA fallback. "
+            "This costs performance and may indicate a kernel bug — please "
+            "report.", RuntimeWarning)
 
 
 def _attention_xla(q: Array, k: Array, v: Array, scale: float) -> Array:
@@ -100,6 +121,6 @@ def multihead_attention(q: Array, k: Array, v: Array, *,
     if use_pallas:
         try:
             return _attention_pallas(q, k, v, scale)
-        except Exception:  # pragma: no cover - fallback safety net
-            pass
+        except Exception as exc:  # fallback safety net — never silent
+            _warn_fallback("multihead_attention", exc)
     return _attention_xla(q, k, v, scale).astype(q.dtype)

@@ -45,10 +45,20 @@ def maybe_initialize_distributed() -> None:
         return
     kwargs = {
         "coordinator_address": os.environ["JAX_COORDINATOR_ADDRESS"]}
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-    if os.environ.get("JAX_PROCESS_ID"):
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    num_proc = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    # both-or-neither: with only one set, jax.distributed.initialize would
+    # fall back to cluster auto-detection for the other, which on plain env
+    # wiring hangs or mis-assigns ranks instead of failing fast
+    if bool(num_proc) != bool(proc_id):
+        raise ValueError(
+            "JAX_NUM_PROCESSES and JAX_PROCESS_ID must be set together "
+            f"(got JAX_NUM_PROCESSES={num_proc!r}, "
+            f"JAX_PROCESS_ID={proc_id!r}); set both explicitly or neither "
+            "(managed clusters auto-detect both)")
+    if num_proc:
+        kwargs["num_processes"] = int(num_proc)
+        kwargs["process_id"] = int(proc_id)
     jax.distributed.initialize(**kwargs)
 
 
@@ -68,7 +78,9 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
         grid = devs
     else:
         # balanced exact factorization: each leading axis takes the largest
-        # divisor <= the even split, the last axis absorbs the rest
+        # divisor <= the even split, the last axis absorbs the rest; sorted
+        # descending so the leading (data) axis gets the biggest factor —
+        # 8 devices x ("data", "model") -> 4x2
         n = len(devs)
         shape = []
         remaining = n
@@ -78,6 +90,7 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
             shape.append(d)
             remaining //= d
         shape.append(remaining)
+        shape.sort(reverse=True)
         grid = devs.reshape(shape)
     return Mesh(grid, axis_names=tuple(axis_names))
 

