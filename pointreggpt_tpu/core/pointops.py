@@ -178,6 +178,126 @@ def keep_nearest(points: Array, valid: Array,
     return out_points, out_valid, overflow
 
 
+_PACK = 1 << 15  # packed-key cells/axis: 65.5 m span at the 2 mm memory voxel
+
+
+def memory_voxel_update(
+    mem_pts: Array,
+    mem_valid: Array,
+    new_pts: Array,
+    new_valid: Array,
+    voxel_size: float,
+    capacity: int,
+) -> Tuple[Array, Array, Array]:
+    """Scene-memory maintenance: merge a new frame into the memory cloud,
+    voxel-downsample the union, bound it to ``capacity`` nearest-origin
+    centroids.
+
+    Semantically equivalent to the composition the Generator step shipped
+    through round 4 (the reference re-voxelizes its unbounded host memory
+    with Open3D every frame, sdd:2660-2680)::
+
+        merged = concat(mem, new)
+        down = vmap(voxel_downsample)(merged)          # 3-key lexsort + 2
+        keep_nearest(down, capacity, valid_is_prefix)  # scatter-adds + top_k
+
+    but rebuilt scatter-free for TPU (scatter is the measured bottleneck —
+    0.156 s of the 0.287 s update at (8, 327680), tools/profile_voxel_update):
+
+    1. ONE batched 2-key sort on packed voxel keys ``(qx * 2^15 + qy, qz)``
+       carrying the coordinates as extra operands (no post-sort gathers).
+       The packed order equals the (qx, qy, qz) lexicographic order whenever
+       every quantized coordinate is < 2^15, so grouping is IDENTICAL to
+       ``voxel_downsample``'s lexsort.
+    2. Per-voxel sums via a segmented inclusive scan
+       (``lax.associative_scan``, log-depth adds of same-segment elements
+       only — exact, no scatter).
+    3. ONE stable sort keyed by centroid distance-to-origin that packs the
+       valid centroids AND performs ``keep_nearest``'s capacity selection as
+       a plain slice. Ties break by voxel-key position, matching
+       ``lax.top_k``'s stable index tie-break.
+
+    Falls back via ``lax.cond`` to the exact composition when any valid
+    quantized coordinate reaches 2^15 (scene span > ``2^15 * voxel_size``),
+    so correctness never depends on the packing range.
+
+    The output point ORDER differs from the composition (centroids come out
+    by distance-to-origin, not voxel-key order); every consumer is
+    set-semantic (splat, next-step re-voxelization, origin min-bound).
+
+    Args:
+        mem_pts: (b, m, 3) memory cloud.  mem_valid: (b, m) bool.
+        new_pts: (b, k, 3) new frame (world coords).  new_valid: (b, k) bool.
+        voxel_size: memory voxel edge (meters).
+        capacity: output size along the point axis.
+
+    Returns:
+        out_points: (b, capacity, 3); out_valid: (b, capacity) bool;
+        overflow: (b,) int32 — valid centroids dropped by the capacity bound.
+    """
+    pts = jnp.concatenate([mem_pts, new_pts], axis=1)
+    valid = jnp.concatenate([mem_valid, new_valid], axis=1)
+    b, n, _ = pts.shape
+
+    def compose(pts, valid):
+        down, down_valid = jax.vmap(
+            lambda p, v: voxel_downsample(p, v, voxel_size))(pts, valid)
+        return keep_nearest(down, down_valid, capacity, valid_is_prefix=True)
+
+    if capacity >= n:
+        # nothing to select: the composition's no-overflow path is a pad
+        return compose(pts, valid)
+
+    big = jnp.asarray(1e30, pts.dtype)
+    masked = jnp.where(valid[..., None], pts, big)
+    origin = jnp.min(masked, axis=1) - 0.5 * voxel_size  # (b, 3)
+    q = jnp.floor((pts - origin[:, None, :]) / voxel_size).astype(jnp.int32)
+    in_range = jnp.all((jnp.where(valid[..., None], q, 0) >= 0) &
+                       (jnp.where(valid[..., None], q, 0) < _PACK))
+
+    def packed(args):
+        pts, valid, q = args
+        hi = jnp.where(valid, q[..., 0] * _PACK + q[..., 1], _INT_SENTINEL)
+        lo = jnp.where(valid, q[..., 2], _INT_SENTINEL)
+        hi_s, lo_s, x_s, y_s, z_s = lax.sort(
+            (hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
+            dimension=-1, num_keys=2)
+        pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+        wgt = (hi_s != _INT_SENTINEL).astype(pts.dtype)
+        is_first = ((hi_s != jnp.roll(hi_s, 1, axis=-1)) |
+                    (lo_s != jnp.roll(lo_s, 1, axis=-1)))
+        is_first = is_first.at[:, 0].set(True)
+        is_last = jnp.roll(is_first, -1, axis=-1).at[:, -1].set(True)
+
+        def combine(a, c):
+            fa, pa, wa = a
+            fc, pc, wc = c
+            return (fa | fc,
+                    jnp.where(fc[..., None], pc, pa + pc),
+                    jnp.where(fc, wc, wa + wc))
+
+        _, psum, wsum = lax.associative_scan(
+            combine, (is_first, pts_s * wgt[..., None], wgt), axis=1)
+
+        seg_ok = is_last & (wsum > 0)
+        centroid = psum / jnp.maximum(wsum, 1.0)[..., None]
+        d2 = jnp.sum(centroid * centroid, axis=-1)
+        key = jnp.where(seg_ok, d2, jnp.inf)
+        key_s, cx, cy, cz = lax.sort(
+            (key, centroid[..., 0], centroid[..., 1], centroid[..., 2]),
+            dimension=-1, num_keys=1, is_stable=True)
+        out_valid = jnp.isfinite(key_s[:, :capacity])
+        out = jnp.stack(
+            [cx[:, :capacity], cy[:, :capacity], cz[:, :capacity]], axis=-1)
+        out = jnp.where(out_valid[..., None], out, 0.0)
+        nseg = jnp.sum(seg_ok, axis=-1).astype(jnp.int32)
+        overflow = jnp.maximum(nseg - capacity, 0)
+        return out, out_valid, overflow
+
+    return lax.cond(in_range, packed, lambda args: compose(*args[:2]),
+                    (pts, valid, q))
+
+
 def _block_scan_hits(src: Array, src_valid: Array, tgt: Array,
                      tgt_valid: Array, radius_sq: Array,
                      block: int) -> Array:

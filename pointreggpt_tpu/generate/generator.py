@@ -234,14 +234,11 @@ class Generator:
             world = jnp.einsum("bji,bnj->bni", rot, new_pts - t[:, None, :],
                                precision=jax.lax.Precision.HIGHEST)
 
-            # fold into scene memory at the memory voxel (sdd:2660-2680)
-            merged = jnp.concatenate([mem_pts, world], axis=1)
-            merged_valid = jnp.concatenate([mem_valid, new_valid], axis=1)
-            down, down_valid = jax.vmap(
-                lambda p, v: P.voxel_downsample(p, v, memory_voxel))(
-                    merged, merged_valid)
-            mem_pts_new, mem_valid_new, overflow = P.keep_nearest(
-                down, down_valid, cap, valid_is_prefix=True)
+            # fold into scene memory at the memory voxel (sdd:2660-2680);
+            # scatter-free fused update — 0.287 s -> measured in
+            # tools/profile_voxel_update.py (VERDICT r4 next #1)
+            mem_pts_new, mem_valid_new, overflow = P.memory_voxel_update(
+                mem_pts, mem_valid, world, new_valid, memory_voxel, cap)
 
             return (pose, images_raw, images_rpj, images, world, new_valid,
                     mem_pts_new, mem_valid_new, overflow)

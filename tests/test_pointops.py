@@ -301,3 +301,106 @@ class TestKeepNearest:
             kd = np.sort(np.sum(np.asarray(out)[b][np.asarray(ov)[b]]**2,
                                 axis=-1))
             np.testing.assert_allclose(kd, vd[:len(kd)], rtol=1e-6)
+
+
+class TestMemoryVoxelUpdate:
+    """The fused scene-memory update must match the round-4 composition
+    (concat -> vmap(voxel_downsample) -> keep_nearest) set-wise."""
+
+    @staticmethod
+    def _compose(mp, mv, np_, nv, voxel, cap):
+        import jax
+
+        merged = jnp.concatenate([mp, np_], axis=1)
+        merged_valid = jnp.concatenate([mv, nv], axis=1)
+        down, down_valid = jax.vmap(
+            lambda p, v: P.voxel_downsample(p, v, voxel))(
+                merged, merged_valid)
+        return P.keep_nearest(down, down_valid, cap, valid_is_prefix=True)
+
+    @staticmethod
+    def _clouds(seed, b=2, m=256, k=96, span=1.0):
+        rng = np.random.default_rng(seed)
+        mp = rng.uniform(-span, span, (b, m, 3)).astype(np.float32)
+        mv = rng.uniform(size=(b, m)) < 0.95
+        np_ = rng.uniform(-span, span, (b, k, 3)).astype(np.float32)
+        nv = rng.uniform(size=(b, k)) < 0.9
+        return (jnp.asarray(mp), jnp.asarray(mv),
+                jnp.asarray(np_), jnp.asarray(nv))
+
+    def _assert_set_parity(self, got, want):
+        gp, gv, gof = map(np.asarray, got)
+        wp, wv, wof = map(np.asarray, want)
+        np.testing.assert_array_equal(gof, wof)
+        np.testing.assert_array_equal(gv.sum(axis=1), wv.sum(axis=1))
+        for b in range(gp.shape[0]):
+            a = gp[b][gv[b]]
+            c = wp[b][wv[b]]
+            a = a[np.lexsort(a.T)]
+            c = c[np.lexsort(c.T)]
+            np.testing.assert_allclose(a, c, atol=1e-5)
+
+    def test_matches_composition_with_overflow(self):
+        mp, mv, np_, nv = self._clouds(0)
+        # tiny voxel: nearly every point its own centroid -> overflow at 128
+        got = P.memory_voxel_update(mp, mv, np_, nv, 0.01, 128)
+        want = self._compose(mp, mv, np_, nv, 0.01, 128)
+        assert np.asarray(got[2]).min() > 0  # the capacity bound engaged
+        self._assert_set_parity(got, want)
+
+    def test_matches_composition_no_overflow(self):
+        mp, mv, np_, nv = self._clouds(1)
+        # coarse voxel: few centroids, no overflow
+        got = P.memory_voxel_update(mp, mv, np_, nv, 0.5, 128)
+        want = self._compose(mp, mv, np_, nv, 0.5, 128)
+        assert np.asarray(got[2]).max() == 0
+        self._assert_set_parity(got, want)
+
+    def test_span_overflow_falls_back_to_composition(self):
+        mp, mv, np_, nv = self._clouds(2)
+        # one far-away VALID point blows the 2^15-cell packed range at
+        # voxel 0.01 (span 655 m >> 327 m) -> the lax.cond fallback runs
+        mp = mp.at[0, 0].set(jnp.asarray([655.0, 0.0, 0.0]))
+        mv = mv.at[0, 0].set(True)
+        got = P.memory_voxel_update(mp, mv, np_, nv, 0.01, 128)
+        want = self._compose(mp, mv, np_, nv, 0.01, 128)
+        # the fallback IS the composition: exact, order included
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_all_invalid(self):
+        mp, mv, np_, nv = self._clouds(3)
+        mv = jnp.zeros_like(mv)
+        nv = jnp.zeros_like(nv)
+        out, ov, of = P.memory_voxel_update(mp, mv, np_, nv, 0.05, 64)
+        assert not np.asarray(ov).any()
+        np.testing.assert_array_equal(np.asarray(of), 0)
+
+    def test_capacity_at_least_n_pads(self):
+        mp, mv, np_, nv = self._clouds(4, m=32, k=16)
+        out, ov, of = P.memory_voxel_update(mp, mv, np_, nv, 0.05, 64)
+        assert out.shape == (2, 64, 3) and ov.shape == (2, 64)
+        np.testing.assert_array_equal(np.asarray(of), 0)
+
+    def test_overflow_keeps_nearest_origin_set(self):
+        mp, mv, np_, nv = self._clouds(5, span=2.0)
+        out, ov, of = map(np.asarray,
+                          P.memory_voxel_update(mp, mv, np_, nv, 0.01, 64))
+        want = self._compose(mp, mv, np_, nv, 0.01, 64)
+        # kept distance multiset equals the composition's keep_nearest pick
+        for b in range(2):
+            kd = np.sort(np.sum(out[b][ov[b]] ** 2, axis=-1))
+            wd = np.sort(np.sum(np.asarray(want[0])[b][
+                np.asarray(want[1])[b]] ** 2, axis=-1))
+            np.testing.assert_allclose(kd, wd, rtol=1e-5)
+
+    def test_jit_deterministic(self):
+        import jax
+
+        mp, mv, np_, nv = self._clouds(6)
+        f = jax.jit(lambda a, b, c, d: P.memory_voxel_update(
+            a, b, c, d, 0.02, 128))
+        a = jax.tree_util.tree_map(np.asarray, f(mp, mv, np_, nv))
+        b = jax.tree_util.tree_map(np.asarray, f(mp, mv, np_, nv))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)

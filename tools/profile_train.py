@@ -108,6 +108,26 @@ def main():
     t_fb = timed(fwdbwd_chain, params) / K
     log(f"fwd+bwd: {1000*t_fb:.1f} ms/step -> {BATCH/t_fb:.1f} img/s")
 
+    # training MFU (VERDICT r4 weak #7): XLA cost-analysis FLOPs of the
+    # compiled fwd+bwd chain / K steps, against the v5e bf16 peak — the
+    # same method bench.py uses for the generation MFU. With PROF_REMAT=0
+    # (the production config: no remat fits v5e HBM and skips the
+    # recompute pass) the executed FLOPs ARE the model FLOPs; with remat
+    # they include the recompute pass, so the % reads as hardware
+    # utilization rather than model-FLOP utilization.
+    try:
+        ca = fwdbwd_chain.lower(jax.random.PRNGKey(0),
+                                params).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        step_flops = float(ca["flops"]) / K
+        mfu = step_flops / t_fb / 197e12
+        log(f"analytic fwd+bwd FLOPs/step: {step_flops/1e12:.2f} TFLOP "
+            f"(batch {BATCH}) -> training MFU {100*mfu:.1f}% "
+            f"(v5e bf16 peak 197 TFLOP/s)")
+    except Exception as e:  # pragma: no cover - cost model availability
+        log(f"training MFU unavailable: {e}")
+
     # force the XLA fallback for BOTH directions of the fused block:
     # patching _dispatch_fused alone only changes the forward — _fused_bwd
     # dispatches the Pallas backward on its own backend check, so also

@@ -41,8 +41,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-BATCH, CAP, NEW = 8, 1 << 18, 65536
-VOXEL = 0.002
+BATCH = int(os.environ.get("PRGPT_PROBE_BATCH", 8))
+CAP = int(os.environ.get("PRGPT_PROBE_CAP", 1 << 18))
+NEW = int(os.environ.get("PRGPT_PROBE_NEW", 65536))
+VOXEL = float(os.environ.get("PRGPT_PROBE_VOXEL", 0.002))
 _INT_SENTINEL = np.int32(2**30)
 _PACK = 1 << 15  # 32768 cells/axis = 65 m span at 2 mm voxel
 
@@ -96,6 +98,39 @@ def memupd_packA(mp, mv, w, wv, voxel, cap, *, sorted_seg=False):
     return P.keep_nearest(out, out_valid, cap, valid_is_prefix=True)
 
 
+def memupd_packC(mp, mv, w, wv, voxel, cap, *, keep=True):
+    """packB minus the validity operand: invalid points carry sentinel keys,
+    so post-sort validity is just ``hi_s != SENTINEL`` — the sort moves one
+    fewer f32 column. segment ids use sorted indices."""
+    pts = jnp.concatenate([mp, w], axis=1)
+    val = jnp.concatenate([mv, wv], axis=1)
+    b, n, _ = pts.shape
+    hi, lo = _quantize(pts, val, voxel)
+    hi_s, lo_s, x_s, y_s, z_s = lax.sort(
+        (hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
+        dimension=-1, num_keys=2)
+    val_s = hi_s != _INT_SENTINEL
+    seg_id = _segments(hi_s, lo_s)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+    wgt = val_s.astype(pts.dtype)
+
+    def seg(p, wt, sid):
+        sums = jax.ops.segment_sum(p * wt[:, None], sid, num_segments=n,
+                                   indices_are_sorted=True)
+        counts = jax.ops.segment_sum(wt, sid, num_segments=n,
+                                     indices_are_sorted=True)
+        return sums, counts
+
+    sums, counts = jax.vmap(seg)(pts_s, wgt, seg_id)
+    out_valid = counts > 0
+    out = jnp.where(out_valid[..., None],
+                    sums / jnp.maximum(counts, 1.0)[..., None], 0.0)
+    if not keep:
+        return out, out_valid
+    from pointreggpt_tpu.core import pointops as P
+    return P.keep_nearest(out, out_valid, cap, valid_is_prefix=True)
+
+
 def memupd_packB(mp, mv, w, wv, voxel, cap, *, sorted_seg=False):
     pts = jnp.concatenate([mp, w], axis=1)
     val = jnp.concatenate([mv, wv], axis=1)
@@ -120,6 +155,51 @@ def memupd_packB(mp, mv, w, wv, voxel, cap, *, sorted_seg=False):
                     sums / jnp.maximum(counts, 1.0)[..., None], 0.0)
     from pointreggpt_tpu.core import pointops as P
     return P.keep_nearest(out, out_valid, cap, valid_is_prefix=True)
+
+
+def memupd_scanfuse(mp, mv, w, wv, voxel, cap):
+    """Scatter-free: packed 2-key sort -> segmented-scan segment sums
+    (log-depth adds, no scatter) -> ONE d2-keyed sort that packs valid
+    centroids AND does keep_nearest's capacity selection as a slice."""
+    pts = jnp.concatenate([mp, w], axis=1)
+    val = jnp.concatenate([mv, wv], axis=1)
+    b, n, _ = pts.shape
+    hi, lo = _quantize(pts, val, voxel)
+    hi_s, lo_s, x_s, y_s, z_s = lax.sort(
+        (hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
+        dimension=-1, num_keys=2)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+    val_s = hi_s != _INT_SENTINEL
+    is_first = ((hi_s != jnp.roll(hi_s, 1, axis=-1)) |
+                (lo_s != jnp.roll(lo_s, 1, axis=-1)))
+    is_first = is_first.at[:, 0].set(True)
+    is_last = jnp.roll(is_first, -1, axis=-1).at[:, -1].set(True)
+
+    wgt = val_s.astype(pts.dtype)
+
+    def combine(a, c):
+        fa, pa, wa = a
+        fc, pc, wc = c
+        return (fa | fc,
+                jnp.where(fc[..., None], pc, pa + pc),
+                jnp.where(fc, wc, wa + wc))
+
+    _, psum, wsum = lax.associative_scan(
+        combine, (is_first, pts_s * wgt[..., None], wgt), axis=1)
+
+    seg_ok = is_last & (wsum > 0)
+    centroid = psum / jnp.maximum(wsum, 1.0)[..., None]
+    d2 = jnp.sum(centroid * centroid, axis=-1)
+    key = jnp.where(seg_ok, d2, jnp.inf)
+    key_s, cx, cy, cz = lax.sort(
+        (key, centroid[..., 0], centroid[..., 1], centroid[..., 2]),
+        dimension=-1, num_keys=1, is_stable=True)
+    out = jnp.stack([cx[:, :cap], cy[:, :cap], cz[:, :cap]], axis=-1)
+    out_valid = jnp.isfinite(key_s[:, :cap])
+    out = jnp.where(out_valid[..., None], out, 0.0)
+    nseg = jnp.sum(seg_ok.astype(jnp.int32), axis=-1)
+    overflow = jnp.maximum(nseg - cap, 0)
+    return out, out_valid, overflow
 
 
 def main():
@@ -188,6 +268,80 @@ def main():
             return sync(out[0])
         results[name] = timed(name, run)
 
+    packC = jax.jit(lambda a, b, c, d: memupd_packC(a, b, c, d, VOXEL, CAP))
+    packC_nk = jax.jit(lambda a, b, c, d: memupd_packC(
+        a, b, c, d, VOXEL, CAP, keep=False))
+
+    scanfuse = jax.jit(
+        lambda a, b, c, d: memupd_scanfuse(a, b, c, d, VOXEL, CAP))
+    shipped = jax.jit(lambda a, b, c, d: P.memory_voxel_update(
+        a, b, c, d, VOXEL, CAP))
+
+    for name, fn in (("packC  (2-key, no w op)", packC),
+                     ("packC_nokeep (no keep_nearest)", packC_nk),
+                     ("scanfuse (segscan + d2 sort)", scanfuse),
+                     ("shipped (memory_voxel_update)", shipped)):
+        def run(i, fn=fn):
+            out = fn(mp * (1 + 0.01 * i), mv, wp * (1 + 0.01 * i), wv)
+            return sync(out[0])
+        results[name] = timed(name, run)
+
+    # ---- sub-parts (where does packC's time go?) ---------------------------
+    @jax.jit
+    def part_sort(mp_, mv_, w_, wv_):
+        pts = jnp.concatenate([mp_, w_], axis=1)
+        val = jnp.concatenate([mv_, wv_], axis=1)
+        hi, lo = _quantize(pts, val, VOXEL)
+        return lax.sort((hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
+                        dimension=-1, num_keys=2)
+
+    sorted_ops = jax.tree_util.tree_map(jnp.asarray, part_sort(mp, mv, wp, wv))
+
+    @jax.jit
+    def part_segsum(hi_s, lo_s, x_s, y_s, z_s):
+        b, n = hi_s.shape
+        seg_id = _segments(hi_s, lo_s)
+        pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+        wgt = (hi_s != _INT_SENTINEL).astype(pts_s.dtype)
+
+        def seg(p, wt, sid):
+            sums = jax.ops.segment_sum(p * wt[:, None], sid, num_segments=n,
+                                       indices_are_sorted=True)
+            counts = jax.ops.segment_sum(wt, sid, num_segments=n,
+                                         indices_are_sorted=True)
+            return sums, counts
+
+        sums, counts = jax.vmap(seg)(pts_s, wgt, seg_id)
+        out_valid = counts > 0
+        out = jnp.where(out_valid[..., None],
+                        sums / jnp.maximum(counts, 1.0)[..., None], 0.0)
+        return out, out_valid
+
+    seg_out = part_segsum(*sorted_ops)
+    seg_out = jax.tree_util.tree_map(jnp.asarray, seg_out)
+
+    @jax.jit
+    def part_keep(out, out_valid):
+        from pointreggpt_tpu.core import pointops as P
+        return P.keep_nearest(out, out_valid, CAP, valid_is_prefix=True)
+
+    def run_psort(i):
+        return sync(part_sort(mp * (1 + 0.01 * i), mv,
+                              wp * (1 + 0.01 * i), wv)[2])
+
+    def run_pseg(i):
+        return sync(part_segsum(sorted_ops[0] + i, sorted_ops[1],
+                                sorted_ops[2] * (1 + 0.01 * i),
+                                sorted_ops[3], sorted_ops[4])[0])
+
+    def run_pkeep(i):
+        return sync(part_keep(seg_out[0] * (1 + 0.01 * i), seg_out[1])[0])
+
+    t_psort = timed("part   sort (2key+3f32)", run_psort)
+    t_pseg = timed("part   segsum+centroid", run_pseg)
+    t_pkeep = timed("part   keep_nearest", run_pkeep)
+    print(f"parts sum {t_psort + t_pseg + t_pkeep:.4f}s", flush=True)
+
     # ---- floors ------------------------------------------------------------
     n_merged = CAP + NEW
     keys0 = jnp.asarray(
@@ -210,7 +364,8 @@ def main():
     # ---- parity ------------------------------------------------------------
     ob = jax.tree_util.tree_map(np.asarray, base(mp, mv, wp, wv))
     for name, fn in (("packA", packA), ("packB", packB),
-                     ("packB_srt", packB_srt)):
+                     ("packB_srt", packB_srt), ("packC", packC),
+                     ("scanfuse", scanfuse), ("shipped", shipped)):
         op = jax.tree_util.tree_map(np.asarray, fn(mp, mv, wp, wv))
         nb = int(ob[1].sum())
         npk = int(op[1].sum())
