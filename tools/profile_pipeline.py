@@ -133,8 +133,39 @@ def main():
                  info_train=info, verbose=False)
     t_gen = time.time() - t0
 
+    # gt stage, same warm-up discipline as generation: the per-bucket jit
+    # programs (voxel downsample at the raw bucket, the batched pair-overlap
+    # at the (cap, pair_cap) bucket) compile/tunnel-load on first use, which
+    # amortizes to zero over a production run's hundreds of scenes — warm
+    # them OUTSIDE the timed window on a shape-identical copy of the tree.
+    # Point values are perturbed (+0.1 mm) because the tunnel memoizes
+    # identical (executable, args) calls (CLAUDE.md); shapes are identical so
+    # the power-of-two buckets match. Scored over ALL written samples (real
+    # sample-000000 + the `num_samples` generated), which is what a user
+    # runs on a generated dataset (reference README.md:96-110: generate_gt
+    # --num_samples = generated + 1).
+    from pointreggpt_tpu.core import plyio
+    gt_samples = num_samples + 1
+    warm_root = tmp / "_gt_warm"
+    for sid in range(batch):
+        sdir = warm_root / f"scene-{sid:06d}"
+        sdir.mkdir(parents=True)
+        for idx in range(gt_samples):
+            ply = (tmp / dataset_name /
+                   f"data/scene-{sid:06d}/sample-{idx:06d}.cloud.ply")
+            if ply.exists():
+                plyio.write_ply(sdir / ply.name,
+                                plyio.read_ply(ply) + 1e-4)
     t0 = time.time()
-    generate_gt(dataset_name, 0, batch, num_samples=2, verbose=False)
+    generate_gt(dataset_name, 0, batch, num_samples=gt_samples,
+                root=str(warm_root), verbose=False)
+    print(f"gt warm-up (compiles/loads): {time.time() - t0:.1f}s",
+          flush=True)
+    shutil.rmtree(warm_root)
+
+    t0 = time.time()
+    generate_gt(dataset_name, 0, batch, num_samples=gt_samples,
+                verbose=False)
     gather_gt(dataset_name, 0, batch)
     t_gt = time.time() - t0
 
@@ -146,7 +177,8 @@ def main():
     n_lines = len([ln for ln in gt_log.read_text().splitlines() if ln])
     pairs = batch * num_samples
     pipeline_ppm = pairs * 60.0 / (t_gen + t_gt)
-    device_est = pairs * 60.0 / (num_samples * 7.41)  # bench.py chain time
+    device_est = pairs * 60.0 / (num_samples * 7.21)  # bench.py chain time
+    # (7.21 s/chain after the round-5 memory_voxel_update harvest)
     # sanity: the converged-mask bias must have produced real fragments —
     # an empty-cloud gt stage (r4) measures nothing
     frag_sizes = []
@@ -161,8 +193,9 @@ def main():
           f"{max(frag_sizes)//1024} KiB (non-empty)", flush=True)
     print(f"generate: {t_gen:.1f}s for {pairs} pairs "
           f"({pairs * 60.0 / t_gen:.1f} pairs/min incl. writes)", flush=True)
-    print(f"gt stage: {t_gt:.1f}s ({pairs / t_gt:.1f} pairs/s), "
-          f"{n_lines} gt.log lines", flush=True)
+    gt_pairs = batch * gt_samples * (gt_samples - 1) // 2
+    print(f"gt stage: {t_gt:.1f}s ({gt_pairs / t_gt:.1f} scored pairs/s "
+          f"over {gt_pairs}), {n_lines} gt.log lines", flush=True)
     print(f"PIPELINE ALL-IN: {pipeline_ppm:.1f} pairs/min end-to-end "
           f"(generate + all host writes + generate_gt + gather_gt in ONE "
           f"run; device-step-only bench ~{device_est:.1f}); "
