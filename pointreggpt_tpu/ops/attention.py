@@ -98,6 +98,38 @@ def _attention_pallas(q: Array, k: Array, v: Array, scale: float) -> Array:
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_pallas_ad(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Pallas forward with an XLA-recompute backward.
+
+    ``pallas_call`` is opaque to reverse-mode autodiff, so without a vjp
+    rule every *training* trace through the kernel would fail linearization
+    and fall back to the XLA path — a spurious RuntimeWarning on each run
+    and a lost Pallas forward. The backward recomputes the fp32 XLA
+    reference at the same point and takes its vjp: gradients are exactly
+    those of ``_attention_xla``, whose forward parity with the kernel is
+    pinned by tests (the two forwards agree to fp32 noise, so this is the
+    standard recompute-backward pattern, same as ``jax.checkpoint``)."""
+    return _attention_pallas(q, k, v, scale)
+
+
+def _attention_pallas_ad_fwd(q, k, v, scale):
+    # module-global lookup of _attention_pallas at call time (tests
+    # monkeypatch it to force the fallback path)
+    return _attention_pallas(q, k, v, scale), (q, k, v)
+
+
+def _attention_pallas_ad_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_xla(q_, k_, v_, scale).astype(q_.dtype),
+        q, k, v)
+    return vjp(g)
+
+
+_attention_pallas_ad.defvjp(_attention_pallas_ad_fwd, _attention_pallas_ad_bwd)
+
+
 def multihead_attention(q: Array, k: Array, v: Array, *,
                         scale: float) -> Array:
     """softmax(q k^T * scale) v over (b, n, heads, dim_head) tensors.
@@ -120,7 +152,7 @@ def multihead_attention(q: Array, k: Array, v: Array, *,
     )
     if use_pallas:
         try:
-            return _attention_pallas(q, k, v, scale)
+            return _attention_pallas_ad(q, k, v, scale)
         except Exception as exc:  # fallback safety net — never silent
             _warn_fallback("multihead_attention", exc)
     return _attention_xla(q, k, v, scale).astype(q.dtype)

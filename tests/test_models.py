@@ -126,6 +126,44 @@ class TestBlocks:
             warnings.simplefilter("error")
             A.multihead_attention(q, k, v, scale=32**-0.5)
 
+    def test_full_attention_pallas_grad_no_fallback(self, monkeypatch):
+        """Differentiating through the Pallas path must use the
+        XLA-recompute custom_vjp — NOT trace-fail into the fallback (the
+        pre-custom_vjp behavior warned on every training run) — and its
+        gradients must equal the XLA reference's."""
+        import warnings
+
+        from pointreggpt_tpu.ops import attention as A
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 2, 32))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 2, 32))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 2, 32))
+
+        # stand-in Pallas forward (the real kernel needs a TPU): parity
+        # with the XLA reference is what the kernel tests pin, so the
+        # custom_vjp wiring is what's under test here
+        monkeypatch.setattr(
+            A, "_attention_pallas",
+            lambda q_, k_, v_, s: A._attention_xla(q_, k_, v_, s)
+            .astype(q_.dtype))
+        monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(A, "_warned_fallbacks", set())
+
+        def loss_pallas(q_):
+            return jnp.sum(
+                A.multihead_attention(q_, k, v, scale=32**-0.5) ** 2)
+
+        def loss_xla(q_):
+            return jnp.sum(
+                A._attention_xla(q_, k, v, 32**-0.5).astype(q_.dtype) ** 2)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any fallback warning fails
+            g_pallas = jax.grad(loss_pallas)(q)
+        g_xla = jax.grad(loss_xla)(q)
+        np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                                   atol=1e-6)
+
 
 class TestDiffusionUNet:
     @pytest.fixture(scope="class")
