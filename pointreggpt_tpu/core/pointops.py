@@ -5,8 +5,10 @@ radius queries inside Python for-loops) for everything here — the hottest
 host-side loops in its pipeline (SURVEY.md §2.1, §3.4). This module rebuilds
 them as jittable JAX ops over **padded + masked** point sets:
 
-- ``voxel_downsample``: quantize -> lexsort -> segment-mean. One fused XLA
-  program; output is padded to the input capacity with a validity mask.
+- ``voxel_downsample``: quantize -> packed-key sort -> segmented-scan mean
+  (scatter-free; lexsort + segment_sum fallback past the packed range).
+  One fused XLA program; output is padded to the input capacity with a
+  validity mask.
 - ``any_within_radius`` / ``min_dist_sq``: tiled pairwise distances via the
   MXU (|s|^2 + |t|^2 - 2 s.t), scanned over target blocks so memory stays
   bounded. Replaces per-point KD-tree queries.
@@ -75,19 +77,95 @@ def voxel_downsample(
         origin: optional (3,) quantization origin; defaults to the valid
             points' min bound minus half a voxel (Open3D behavior).
 
+    Round 5: the hot path is scatter-free (shared ``_packed_voxel_segments``
+    core — packed 2-key sort + segmented ``associative_scan``; scatter is
+    the measured TPU bottleneck) behind a ``lax.cond`` that falls back to
+    the original lexsort + segment_sum whenever a valid quantized
+    coordinate leaves ``[0, 2^15)``. Output order and values match the
+    scatter path (voxel order, valid prefix; sums agree to fp re-association
+    noise). Inside ``vmap`` use :func:`voxel_downsample_batched` — a
+    vmapped cond with a batched predicate lowers to ``select`` and runs
+    BOTH branches.
+
     Returns:
         out_points: (n, 3) centroids, padded with zeros.
         out_valid:  (n,) bool, True for the leading occupied-voxel entries.
     """
-    n = points.shape[0]
+    q, in_range = _quantize(points[None], valid[None], voxel_size, origin)
+
+    def packed(args):
+        pts, val, q = args
+        out, out_valid = _voxel_downsample_packed(pts, val, q)
+        return out[0], out_valid[0]
+
+    def scatter(args):
+        pts, val, q = args
+        return _voxel_downsample_scatter(pts[0], val[0], q[0])
+
+    return lax.cond(in_range, packed, scatter,
+                    (points[None], valid[None], q))
+
+
+def voxel_downsample_batched(
+    points: Array,
+    valid: Array,
+    voxel_size: float,
+) -> Tuple[Array, Array]:
+    """Batched :func:`voxel_downsample` (per-row origin) with ONE
+    whole-batch range predicate, so the scatter-free path survives under
+    ``jit``/``vmap`` without per-element branch duplication.
+
+    Args:
+        points: (b, n, 3).  valid: (b, n) bool.
+
+    Returns:
+        out_points: (b, n, 3); out_valid: (b, n) bool (valid prefix per
+        row, voxel order) — identical contract to vmapping
+        ``voxel_downsample``.
+    """
+    q, in_range = _quantize(points, valid, voxel_size, None)
+
+    def scatter(args):
+        pts, val, q = args
+        return jax.vmap(_voxel_downsample_scatter)(pts, val, q)
+
+    return lax.cond(in_range, lambda a: _voxel_downsample_packed(*a),
+                    scatter, (points, valid, q))
+
+
+def _quantize(points: Array, valid: Array, voxel_size: float,
+              origin) -> Tuple[Array, Array]:
+    """Per-row Open3D-convention quantization + packed-range predicate.
+
+    Args:
+        points: (b, n, 3).  valid: (b, n) bool.
+        origin: None (per-row min bound − voxel/2) or a (3,) override.
+
+    Returns:
+        q: (b, n, 3) int32 voxel indices (garbage on invalid rows — every
+            consumer masks by ``valid`` before use).
+        in_range: scalar bool — every valid index in ``[0, _PACK)``.
+    """
     big = jnp.asarray(1e30, points.dtype)
-
     if origin is None:
-        masked = jnp.where(valid[:, None], points, big)
-        origin = jnp.min(masked, axis=0) - 0.5 * voxel_size
-    origin = jnp.asarray(origin, points.dtype)
+        masked = jnp.where(valid[..., None], points, big)
+        origin = jnp.min(masked, axis=1) - 0.5 * voxel_size  # (b, 3)
+    else:
+        origin = jnp.broadcast_to(
+            jnp.asarray(origin, points.dtype), points.shape[:1] + (3,))
+    q = jnp.floor((points - origin[:, None, :]) / voxel_size)
+    q = q.astype(jnp.int32)
+    q_masked = jnp.where(valid[..., None], q, 0)
+    in_range = jnp.all((q_masked >= 0) & (q_masked < _PACK))
+    return q, in_range
 
-    q = jnp.floor((points - origin[None, :]) / voxel_size).astype(jnp.int32)
+
+def _voxel_downsample_scatter(points: Array, valid: Array,
+                              q: Array) -> Tuple[Array, Array]:
+    """Pre-round-5 scatter path: 3-key lexsort + two ``segment_sum``
+    scatter-adds. The correctness anchor and out-of-packed-range fallback
+    for the scan path ((n,)-shaped; vmap for batches)."""
+    n = points.shape[0]
     q = jnp.where(valid[:, None], q, _INT_SENTINEL)
 
     order = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
@@ -108,6 +186,24 @@ def voxel_downsample(
     out_points = sums / jnp.maximum(counts, 1.0)[:, None]
     out_points = jnp.where(out_valid[:, None], out_points, 0.0)
     return out_points, out_valid
+
+
+def _voxel_downsample_packed(points: Array, valid: Array,
+                             q: Array) -> Tuple[Array, Array]:
+    """Scatter-free path ((b, n)-shaped): shared packed-key core + ONE
+    index-keyed sort that packs occupied-voxel centroids to a leading
+    prefix in voxel order (the scatter path's exact output order)."""
+    n = valid.shape[1]
+    seg_ok, centroid, _ = _packed_voxel_segments(points, valid, q)
+    key = jnp.where(seg_ok, jnp.arange(n, dtype=jnp.int32)[None, :],
+                    jnp.int32(n))
+    key_s, cx, cy, cz = lax.sort(
+        (key, centroid[..., 0], centroid[..., 1], centroid[..., 2]),
+        dimension=-1, num_keys=1)
+    out_valid = key_s < n
+    out = jnp.stack([cx, cy, cz], axis=-1)
+    out = jnp.where(out_valid[..., None], out, 0.0)
+    return out, out_valid
 
 
 def keep_nearest(points: Array, valid: Array,
@@ -181,6 +277,61 @@ def keep_nearest(points: Array, valid: Array,
 _PACK = 1 << 15  # packed-key cells/axis: 65.5 m span at the 2 mm memory voxel
 
 
+def _packed_voxel_segments(
+    pts: Array, valid: Array, q: Array,
+) -> Tuple[Array, Array, Array]:
+    """Scatter-free voxel grouping core shared by ``voxel_downsample`` and
+    ``memory_voxel_update``.
+
+    ONE batched 2-key sort on packed voxel keys ``(qx * 2^15 + qy, qz)``
+    carrying the coordinates as extra operands (no post-sort gathers), then
+    per-voxel sums via a segmented inclusive scan (``lax.associative_scan``
+    — log-depth, adds within segments only, NO scatter; scatter is the
+    measured TPU bottleneck: segment_sum was 0.156 s of the 0.287 s
+    memory update at (8, 327680), tools/profile_voxel_update.py).
+
+    Requires every valid quantized coordinate in ``[0, _PACK)`` — the
+    packed order then equals the (qx, qy, qz) lexicographic order, so the
+    grouping is IDENTICAL to a 3-key lexsort.
+
+    Args:
+        pts: (b, n, 3).  valid: (b, n) bool.  q: (b, n, 3) int32.
+
+    Returns:
+        seg_ok: (b, n) bool — True on the segment-END row of each occupied
+            voxel, in sorted (ascending packed-key) order.
+        centroid: (b, n, 3) — per-row running centroid; the segment-end
+            rows hold the full-voxel centroid.
+        nseg: (b,) int32 — occupied-voxel count.
+    """
+    hi = jnp.where(valid, q[..., 0] * _PACK + q[..., 1], _INT_SENTINEL)
+    lo = jnp.where(valid, q[..., 2], _INT_SENTINEL)
+    hi_s, lo_s, x_s, y_s, z_s = lax.sort(
+        (hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
+        dimension=-1, num_keys=2)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+    wgt = (hi_s != _INT_SENTINEL).astype(pts.dtype)
+    is_first = ((hi_s != jnp.roll(hi_s, 1, axis=-1)) |
+                (lo_s != jnp.roll(lo_s, 1, axis=-1)))
+    is_first = is_first.at[:, 0].set(True)
+    is_last = jnp.roll(is_first, -1, axis=-1).at[:, -1].set(True)
+
+    def combine(a, c):
+        fa, pa, wa = a
+        fc, pc, wc = c
+        return (fa | fc,
+                jnp.where(fc[..., None], pc, pa + pc),
+                jnp.where(fc, wc, wa + wc))
+
+    _, psum, wsum = lax.associative_scan(
+        combine, (is_first, pts_s * wgt[..., None], wgt), axis=1)
+
+    seg_ok = is_last & (wsum > 0)
+    centroid = psum / jnp.maximum(wsum, 1.0)[..., None]
+    nseg = jnp.sum(seg_ok, axis=-1).astype(jnp.int32)
+    return seg_ok, centroid, nseg
+
+
 def memory_voxel_update(
     mem_pts: Array,
     mem_valid: Array,
@@ -240,47 +391,22 @@ def memory_voxel_update(
     b, n, _ = pts.shape
 
     def compose(pts, valid):
-        down, down_valid = jax.vmap(
-            lambda p, v: voxel_downsample(p, v, voxel_size))(pts, valid)
+        # the exact pre-round-5 composition (scatter path directly — a
+        # vmapped voxel_downsample would run its internal cond as select,
+        # executing the packed path too)
+        q, _ = _quantize(pts, valid, voxel_size, None)
+        down, down_valid = jax.vmap(_voxel_downsample_scatter)(pts, valid, q)
         return keep_nearest(down, down_valid, capacity, valid_is_prefix=True)
 
     if capacity >= n:
         # nothing to select: the composition's no-overflow path is a pad
         return compose(pts, valid)
 
-    big = jnp.asarray(1e30, pts.dtype)
-    masked = jnp.where(valid[..., None], pts, big)
-    origin = jnp.min(masked, axis=1) - 0.5 * voxel_size  # (b, 3)
-    q = jnp.floor((pts - origin[:, None, :]) / voxel_size).astype(jnp.int32)
-    in_range = jnp.all((jnp.where(valid[..., None], q, 0) >= 0) &
-                       (jnp.where(valid[..., None], q, 0) < _PACK))
+    q, in_range = _quantize(pts, valid, voxel_size, None)
 
     def packed(args):
         pts, valid, q = args
-        hi = jnp.where(valid, q[..., 0] * _PACK + q[..., 1], _INT_SENTINEL)
-        lo = jnp.where(valid, q[..., 2], _INT_SENTINEL)
-        hi_s, lo_s, x_s, y_s, z_s = lax.sort(
-            (hi, lo, pts[..., 0], pts[..., 1], pts[..., 2]),
-            dimension=-1, num_keys=2)
-        pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
-        wgt = (hi_s != _INT_SENTINEL).astype(pts.dtype)
-        is_first = ((hi_s != jnp.roll(hi_s, 1, axis=-1)) |
-                    (lo_s != jnp.roll(lo_s, 1, axis=-1)))
-        is_first = is_first.at[:, 0].set(True)
-        is_last = jnp.roll(is_first, -1, axis=-1).at[:, -1].set(True)
-
-        def combine(a, c):
-            fa, pa, wa = a
-            fc, pc, wc = c
-            return (fa | fc,
-                    jnp.where(fc[..., None], pc, pa + pc),
-                    jnp.where(fc, wc, wa + wc))
-
-        _, psum, wsum = lax.associative_scan(
-            combine, (is_first, pts_s * wgt[..., None], wgt), axis=1)
-
-        seg_ok = is_last & (wsum > 0)
-        centroid = psum / jnp.maximum(wsum, 1.0)[..., None]
+        seg_ok, centroid, nseg = _packed_voxel_segments(pts, valid, q)
         d2 = jnp.sum(centroid * centroid, axis=-1)
         key = jnp.where(seg_ok, d2, jnp.inf)
         key_s, cx, cy, cz = lax.sort(
@@ -290,7 +416,6 @@ def memory_voxel_update(
         out = jnp.stack(
             [cx[:, :capacity], cy[:, :capacity], cz[:, :capacity]], axis=-1)
         out = jnp.where(out_valid[..., None], out, 0.0)
-        nseg = jnp.sum(seg_ok, axis=-1).astype(jnp.int32)
         overflow = jnp.maximum(nseg - capacity, 0)
         return out, out_valid, overflow
 

@@ -285,9 +285,10 @@ class Tester:
             # one jitted program (not eager vmap: primitive-by-primitive
             # dispatch costs ~28 ms each through the tunnel) for the final
             # scene-{sid}.ply voxel-0.025 clouds (sdd:2225-2236)
-            return jax.vmap(
-                lambda p, v: P.voxel_downsample(p, v, 0.025))(
-                    mem_pts, mem_valid)
+            # batched variant: ONE whole-batch range predicate (a vmapped
+            # voxel_downsample would lower its internal cond to select and
+            # run the scatter fallback alongside the scan path)
+            return P.voxel_downsample_batched(mem_pts, mem_valid, 0.025)
 
         @jax.jit
         def update_memory(mem_pts, mem_valid, images, pose, intrinsic):

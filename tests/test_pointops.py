@@ -77,6 +77,78 @@ class TestVoxelDownsample:
         assert np.unique(cells, axis=0).shape[0] == 8
 
 
+class TestVoxelDownsamplePacked:
+    """The round-5 scatter-free voxel_downsample path vs its scatter
+    anchor: identical output order (voxel order, valid prefix), centroids
+    to fp re-association noise, exact fallback past the packed range."""
+
+    def _rand(self, seed, n=1024, frac=0.8, span=2.0):
+        rng = np.random.default_rng(seed)
+        pts = jnp.asarray(rng.uniform(-span, span, (n, 3)), jnp.float32)
+        valid = jnp.asarray(rng.uniform(size=n) < frac)
+        return pts, valid
+
+    def test_packed_matches_scatter_order_and_values(self):
+        for seed in range(3):
+            pts, valid = self._rand(seed)
+            q, in_range = P._quantize(pts[None], valid[None], 0.1, None)
+            assert bool(in_range)
+            ref_p, ref_v = P._voxel_downsample_scatter(pts, valid, q[0])
+            out_p, out_v = P.voxel_downsample(pts, valid, 0.1)
+            np.testing.assert_array_equal(np.asarray(ref_v),
+                                          np.asarray(out_v))
+            np.testing.assert_allclose(np.asarray(ref_p), np.asarray(out_p),
+                                       atol=1e-5)
+
+    def test_out_of_range_falls_back_exactly(self):
+        pts, valid = self._rand(7, span=2000.0)  # 40k cells at voxel 0.1
+        q, in_range = P._quantize(pts[None], valid[None], 0.1, None)
+        assert not bool(in_range)
+        ref_p, ref_v = P._voxel_downsample_scatter(pts, valid, q[0])
+        out_p, out_v = P.voxel_downsample(pts, valid, 0.1)
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(out_v))
+        np.testing.assert_allclose(np.asarray(ref_p), np.asarray(out_p),
+                                   atol=1e-4)
+
+    def test_negative_origin_override_falls_back(self):
+        # origin=0 with negative coordinates -> q < 0 -> scatter path
+        pts = jnp.asarray([[-0.25, 0.1, 0.1], [0.15, 0.1, 0.1]], jnp.float32)
+        valid = jnp.ones((2,), bool)
+        _, in_range = P._quantize(pts[None], valid[None], 0.1,
+                                  jnp.zeros(3))
+        assert not bool(in_range)
+        out_p, out_v = P.voxel_downsample(pts, valid, 0.1,
+                                          origin=jnp.zeros(3))
+        assert np.asarray(out_v).sum() == 2
+
+    def test_batched_matches_unbatched(self):
+        pts0, val0 = self._rand(1)
+        pts1, val1 = self._rand(2, frac=0.3)
+        b_pts = jnp.stack([pts0, pts1])
+        b_val = jnp.stack([val0, val1])
+        out_p, out_v = P.voxel_downsample_batched(b_pts, b_val, 0.1)
+        for i in range(2):
+            ref_p, ref_v = P.voxel_downsample(b_pts[i], b_val[i], 0.1)
+            np.testing.assert_array_equal(np.asarray(ref_v),
+                                          np.asarray(out_v[i]))
+            np.testing.assert_allclose(np.asarray(ref_p),
+                                       np.asarray(out_p[i]), atol=1e-5)
+
+    def test_batched_whole_batch_fallback_matches(self):
+        # ONE row out of range sends the WHOLE batch down the scatter path
+        pts0, val0 = self._rand(3)
+        pts1, val1 = self._rand(4, span=2000.0)
+        b_pts = jnp.stack([pts0, pts1])
+        b_val = jnp.stack([val0, val1])
+        out_p, out_v = P.voxel_downsample_batched(b_pts, b_val, 0.1)
+        for i in range(2):
+            ref_p, ref_v = P.voxel_downsample(b_pts[i], b_val[i], 0.1)
+            np.testing.assert_array_equal(np.asarray(ref_v),
+                                          np.asarray(out_v[i]))
+            np.testing.assert_allclose(np.asarray(ref_p),
+                                       np.asarray(out_p[i]), atol=1e-4)
+
+
 class TestRadiusSearch:
     def test_any_within_radius(self):
         src = np.array([[0, 0, 0], [1, 0, 0], [5, 5, 5]], np.float32)
