@@ -87,6 +87,12 @@ def voxel_downsample(
     vmapped cond with a batched predicate lowers to ``select`` and runs
     BOTH branches.
 
+    Accepted compile-cost tradeoff: every jitted consumer carries BOTH
+    cond branches in its HLO, so cache-miss compiles pay for the fallback
+    even though production scenes (span << 65 m at 2 mm) never execute
+    it — the fallback is the correctness guarantee, and the persistent
+    compile cache amortizes the one-time cost per bucket shape.
+
     Returns:
         out_points: (n, 3) centroids, padded with zeros.
         out_valid:  (n,) bool, True for the leading occupied-voxel entries.

@@ -105,6 +105,15 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _LIB_PATH.exists() and not _build():
             _build_failed = True
             return None
+        # drop superseded builds (other hash tags, and the legacy unhashed
+        # name) so dev loops / version upgrades sharing this dir don't
+        # accumulate one .so per source revision
+        for stale in _LIB_PATH.parent.glob("_pointreggpt_native*.so"):
+            if stale != _LIB_PATH:
+                try:
+                    stale.unlink()
+                except OSError:
+                    pass  # another process may hold/clean it concurrently
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:

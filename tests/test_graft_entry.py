@@ -27,6 +27,35 @@ def test_entry_shapes():
         sys.path.remove(REPO)
 
 
+def test_worker_failure_classification():
+    """Transience must be read from the failed worker's OWN traceback
+    tail — a retryable-looking marker echoed earlier in its (embedded)
+    output must not relabel a deterministic failure as retryable."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as G
+
+        tb = ("Traceback (most recent call last):\n"
+              "  File \"x.py\", line 1, in <module>\n"
+              "RuntimeError: DEADLINE_EXCEEDED: rendezvous timed out\n")
+        assert G._classify_worker_failure(tb) is G._TransientMPError
+
+        # the genuine-bug shape: a sibling's 'Connection refused' echo
+        # high up, the worker's own death a plain assertion
+        echo = "log: peer said Connection refused\n" + "info line\n" * 20
+        tb2 = (echo + "Traceback (most recent call last):\n"
+               "  File \"x.py\", line 9, in step\n"
+               "AssertionError: shapes diverged\n")
+        assert G._classify_worker_failure(tb2) is RuntimeError
+
+        # port race lands in the final traceback -> retryable
+        tb3 = ("boot log\n" * 30 +
+               "RuntimeError: bind failed: Address already in use\n")
+        assert G._classify_worker_failure(tb3) is G._TransientMPError
+    finally:
+        sys.path.remove(REPO)
+
+
 def test_params_digest_is_bitwise():
     """VERDICT r4 weak #1: the cross-rank digest must be bitwise — a single
     flipped mantissa bit in ONE leaf must change it (the old float-sum

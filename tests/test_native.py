@@ -45,6 +45,24 @@ class TestDepthPreprocess:
         np.testing.assert_allclose(out, 0.0)
 
 
+class TestStaleBinaryCleanup:
+    def test_load_removes_superseded_hashes(self):
+        """Superseded builds (other hash tags, the legacy unhashed name)
+        must be unlinked on load, not accumulate one .so per revision."""
+        assert native._load() is not None  # current build exists
+        parent = native._LIB_PATH.parent
+        stale = [parent / "_pointreggpt_native.so",
+                 parent / "_pointreggpt_native-deadbeef0000.so"]
+        for p in stale:
+            p.write_bytes(b"stale")
+        # force a re-load pass (the lib object itself is process-cached)
+        native._lib = None
+        assert native._load() is not None
+        for p in stale:
+            assert not p.exists(), f"stale binary survived: {p}"
+        assert native._LIB_PATH.exists()
+
+
 class TestHostPointOps:
     def test_voxel_matches_device(self):
         import jax.numpy as jnp
