@@ -216,6 +216,17 @@ class GaussianDiffusion:
             mask_rpj = mask_from_image_condition(img_cond)[..., None]
             dropout_table = (self._ddnm_dropouts
                              if use_ddnm else self._denoise_dropouts)
+            if key is None and np.any(np.asarray(dropout_table) > 0):
+                # fail fast instead of silently skipping the keep-mask
+                # draw: the reference always applies an active dropout
+                # schedule (sdd:1210-1227), so a keyless call here would
+                # diverge without signal. The table is host data, so this
+                # check is trace-time free.
+                raise ValueError(
+                    "model_predictions: the active "
+                    f"{'ddnm' if use_ddnm else 'denoise'} mask-dropout "
+                    "schedule is nonzero but no RNG key was passed — "
+                    "dropout would be silently skipped")
             p_drop = jnp.asarray(dropout_table)[t[0]]
             if key is not None:
                 keep = jax.random.uniform(key, mask_rpj.shape) > p_drop
@@ -438,6 +449,13 @@ class GaussianDiffusion:
         """
         assert x1.shape == x2.shape
         t = self.num_timesteps - 1 if t is None else int(t)
+        if not 1 <= t <= self.num_timesteps - 1:
+            # out-of-range t would silently mis-execute: the q_sample
+            # table gathers clip t to T-1 (jnp.take clips) while the
+            # chain below would still run `t` denoise steps on clipped
+            # posterior coefficients
+            raise ValueError(
+                f"interpolate: t={t} outside [1, {self.num_timesteps - 1}]")
         b = x1.shape[0]
         k_n1, k_n2, k_scan = jax.random.split(key, 3)
         tb = jnp.full((b,), t, jnp.int32)
@@ -446,7 +464,7 @@ class GaussianDiffusion:
         img = (1 - lam) * xt1 + lam * xt2
 
         ts = jnp.arange(t - 1, -1, -1)
-        keys = jax.random.split(k_scan, max(t, 1))[:max(t, 1)]
+        keys = jax.random.split(k_scan, t)
 
         def body(x, inp):
             t_scalar, k = inp
@@ -454,5 +472,5 @@ class GaussianDiffusion:
                                        k, False, False)
             return x, None
 
-        img, _ = jax.lax.scan(body, img, (ts, keys[:ts.shape[0]]))
+        img, _ = jax.lax.scan(body, img, (ts, keys))
         return img

@@ -1,8 +1,9 @@
 """Beta schedules and precomputed diffusion tables.
 
-All tables are computed once at float64 on host (pure numpy — exactly
-reproducible) and registered as float32 device constants, mirroring the
-reference's float64->float32 buffer registration (sdd:976-1151).
+All tables are computed once at float64 on host (numpy; the DDIM time
+grid alone uses torch.linspace — see ddim_time_pairs) and registered as
+float32 device constants, mirroring the reference's float64->float32
+buffer registration (sdd:976-1151).
 """
 
 from __future__ import annotations
@@ -163,7 +164,27 @@ def denoise_dropout_table(timesteps: int) -> np.ndarray:
 
 
 def ddim_time_pairs(timesteps: int, sampling_timesteps: int) -> np.ndarray:
-    """The (S, 2) [t, t_next] descending pairs of DDIM (sdd:1331-1337)."""
-    times = np.linspace(-1, timesteps - 1, sampling_timesteps + 1)
-    times = list(reversed(times.astype(int).tolist()))
+    """The (S, 2) [t, t_next] descending pairs of DDIM (sdd:1331-1337).
+
+    The reference builds the grid with ``torch.linspace`` at its float32
+    default and truncates with ``.int()``; the float32 rounding DECIDES
+    some timesteps (e.g. T=1000, S=26: index 13 reads 498.999969 in
+    float32 — t=498 — where exact/float64 arithmetic gives 499.0 — t=499;
+    139 of the 1000 possible S values diverge somewhere). Since torch's
+    SIMD kernel rounding is not portably reproducible in numpy, the grid
+    is taken from ``torch.linspace`` itself — torch is already a host
+    dependency (checkpoint import, FID weights). Production grids
+    (S=250, S=32 at T=1000) are exact multiples and agree across all
+    formulations; the numpy float32 fallback below (torch missing) is
+    grid-identical there.
+    """
+    try:
+        import torch
+
+        times = torch.linspace(-1, timesteps - 1,
+                               sampling_timesteps + 1).int().tolist()
+    except ImportError:  # pragma: no cover - torch is a declared dep
+        times = (np.linspace(-1, timesteps - 1, sampling_timesteps + 1,
+                             dtype=np.float32).astype(int).tolist())
+    times = list(reversed(times))
     return np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)

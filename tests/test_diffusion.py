@@ -76,6 +76,25 @@ class TestSchedules:
         np.testing.assert_array_equal(pairs, expect)
         assert pairs[-1][1] == -1  # ends at the boundary marker
 
+    def test_ddim_time_pairs_float32_grid_parity(self):
+        """The reference's float32 torch.linspace DECIDES some timesteps
+        (e.g. T=1000, S=26: float32 reads 498.999969 -> t=498 where exact
+        arithmetic gives 499.0 -> t=499). The grid must match torch's for
+        every S, including the known float64-divergent ones."""
+        import torch
+
+        for S in (26, 52, 60, 104, 250, 32, 1, 999, 1000):
+            ref = torch.linspace(-1, 999, S + 1).int().tolist()
+            ref = list(reversed(ref))
+            expect = np.asarray(list(zip(ref[:-1], ref[1:])), np.int32)
+            np.testing.assert_array_equal(
+                sched.ddim_time_pairs(1000, S), expect, err_msg=f"S={S}")
+        # the production grids are exact multiples: float precision is
+        # irrelevant there (regression guard for the fallback path too)
+        p250 = sched.ddim_time_pairs(1000, 250)
+        assert p250[0][0] == 999 and p250[-1][1] == -1
+        assert {int(a - b) for a, b in p250[:-1]} == {4}
+
     def test_dropout_tables(self):
         d = sched.ddnm_dropout_table(10, 0.3, "linear")
         assert np.isclose(d[0], 0.3) and np.isclose(d[-1], 0.0)
@@ -302,6 +321,42 @@ class TestInterpolate:
                             jnp.zeros((1, 4)), t=4)
         assert out.shape == x1.shape
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_out_of_range_t_rejected(self):
+        """t past the table range used to silently gather clipped
+        coefficients while still scanning t steps — must raise instead."""
+        import pytest
+
+        d = _dummy_diffusion(timesteps=8)
+        x = jnp.zeros((1, 8, 8, 1))
+        for bad_t in (0, 8, 1500):
+            with pytest.raises(ValueError, match="outside"):
+                d.interpolate({"x0": 0.3}, jax.random.PRNGKey(0), x, x,
+                              jnp.zeros((1, 4)), t=bad_t)
+
+
+class TestDropoutKeyGuard:
+    def test_keyless_active_schedule_raises(self):
+        """A nonzero mask-dropout schedule with key=None must fail fast,
+        not silently skip the keep-mask draw (the reference always
+        applies it, sdd:1210-1227)."""
+        import pytest
+
+        d = _dummy_diffusion(timesteps=8)
+        x = jnp.zeros((1, 8, 8, 1))
+        t = jnp.zeros((1,), jnp.int32)
+        cond = jnp.concatenate(
+            [jnp.full((1, 8, 8, 1), 0.3), jnp.ones((1, 8, 8, 1))], -1)
+        # denoise schedule is nonzero by construction -> keyless denoise
+        # call must raise (ban DDNM so the denoise table governs; with
+        # DDNM active the zero-dropout ddnm table wins the precedence)
+        with pytest.raises(ValueError, match="no RNG key"):
+            d.model_predictions({"x0": 0.3}, x, t, jnp.zeros((1, 4)), cond,
+                                key=None, is_ban_ddnm=True, is_denoise=True)
+        # zero ddnm dropout (production generation): keyless is fine
+        preds = d.model_predictions({"x0": 0.3}, x, t, jnp.zeros((1, 4)),
+                                    cond, key=None)
+        assert np.isfinite(np.asarray(preds.pred_x_start)).all()
 
 
 class TestOutputShapeGuard:
