@@ -27,6 +27,7 @@ and stay < 10 m, so production data never reaches the wrap.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import pickle
@@ -120,20 +121,29 @@ class DepthDataset:
         return self._intrinsic_cache[key]
 
     def set_epoch(self, epoch: int) -> None:
-        """Advance the augmentation epoch (called by PrefetchLoader)."""
+        """Advance the augmentation epoch (fallback for direct ``[]``
+        access; PrefetchLoader calls :meth:`getitem_at_epoch` instead so
+        overlapping iterations never share mutable epoch state)."""
         self._epoch = int(epoch)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def getitem_at_epoch(self, index: int,
+                         epoch: int) -> Dict[str, np.ndarray]:
+        """Fetch with an EXPLICIT epoch — the flip decision stays a pure
+        function of (seed, epoch, index) even when two loader iterations
+        over this dataset overlap (a shared ``_epoch`` field would race)."""
         path = self.paths[index]
         flip = self.augment_horizontal_flip and (
             np.random.default_rng(
-                (self.seed, self._epoch, index)).random() < 0.5)
+                (self.seed, int(epoch), index)).random() < 0.5)
         img = imageio16.load_depth_model_space(path, self.image_size,
                                                flip=flip)
         return {
             "img": img[..., None],  # (h, w, 1) NHWC
             "intrinsic": self._scene_intrinsic(path),
         }
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.getitem_at_epoch(index, self._epoch)
 
 
 class PairedDepthDataset:
@@ -168,6 +178,20 @@ class PairedDepthDataset:
         }
 
 
+@functools.lru_cache(maxsize=1)
+def _reproject_jit():
+    """ONE jitted reproject program shared across TestDataset items.
+
+    An eager per-item ``reproject`` dispatches every primitive separately
+    through the device tunnel (~28 ms each, the round-3 Tester finding);
+    the cached jit pays one compile per image-size bucket instead."""
+    import jax
+
+    from pointreggpt_tpu.core.geometry import reproject
+
+    return jax.jit(reproject)
+
+
 class TestDataset:
     """Depth-correction test inputs from real 3DMatch test pairs.
 
@@ -195,8 +219,6 @@ class TestDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
 
-        from pointreggpt_tpu.core.geometry import reproject
-
         half = len(self) // 2
         if (index // half) % 2 == 0:
             src_rel = self.info["src"][index % half]
@@ -210,7 +232,7 @@ class TestDataset:
 
         relative_pose = (np.linalg.inv(tgt_pose) @ src_pose).astype(np.float32)
 
-        depth_rpj, mask_rpj = reproject(
+        depth_rpj, mask_rpj = _reproject_jit()(
             jnp.asarray(src_image[None] * 10.0), jnp.asarray(intrinsic[None]),
             jnp.asarray(relative_pose[None]))
         input_img = np.asarray(depth_rpj)[0] * 0.1
@@ -251,7 +273,8 @@ class PrefetchLoader:
                  infinite: bool = False,
                  num_workers: Optional[int] = None,
                  prefetch: int = 2,
-                 seed: int = 0):
+                 seed: int = 0,
+                 start_epoch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -268,8 +291,11 @@ class PrefetchLoader:
         self.seed = seed
         # advances across __iter__ calls so a finite loader reshuffles
         # every epoch like torch DataLoader(shuffle=True) — a fresh
-        # permutation per pass, still a pure function of (seed, epoch)
-        self._epoch = 0
+        # permutation per pass, still a pure function of (seed, epoch).
+        # start_epoch lets a resumed trainer fast-forward the stream to
+        # the epoch its restored step had reached instead of replaying
+        # epoch 0's order
+        self._epoch = int(start_epoch)
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"dataset has {len(dataset)} examples < batch_size "
@@ -280,15 +306,19 @@ class PrefetchLoader:
         return n // self.batch_size if self.drop_last else -(-n //
                                                              self.batch_size)
 
-    def _index_batches(self, start_epoch: int) -> Iterator[List[int]]:
+    def _index_batches(self, start_epoch: int):
+        """Yield (epoch, index_batch) pairs; the epoch rides alongside the
+        indices so the producer can fetch at an explicit epoch instead of
+        mutating shared dataset state (two overlapping iterations would
+        race on a ``set_epoch`` field)."""
         epoch = start_epoch
         while True:
-            # deterministic augmentation: datasets that derive their RNG
-            # from (seed, epoch, index) learn the epoch here, before any
-            # of the epoch's batches are decoded
-            set_epoch = getattr(self.dataset, "set_epoch", None)
-            if set_epoch is not None:
-                set_epoch(epoch)
+            # legacy fallback: datasets without getitem_at_epoch still
+            # learn the epoch here, before any of its batches decode
+            if not hasattr(self.dataset, "getitem_at_epoch"):
+                set_epoch = getattr(self.dataset, "set_epoch", None)
+                if set_epoch is not None:
+                    set_epoch(epoch)
             rng = np.random.default_rng([self.seed, epoch])
             idx = np.arange(len(self.dataset))
             if self.shuffle:
@@ -296,7 +326,7 @@ class PrefetchLoader:
             stop = (len(idx) // self.batch_size *
                     self.batch_size if self.drop_last else len(idx))
             for s in range(0, stop, self.batch_size):
-                yield list(idx[s:s + self.batch_size])
+                yield epoch, list(idx[s:s + self.batch_size])
             epoch += 1
             if not self.infinite:
                 return
@@ -332,20 +362,31 @@ class PrefetchLoader:
                     continue
             return False
 
+        fetch_at = getattr(self.dataset, "getitem_at_epoch", None)
+
         def producer():
             # item decodes fan out over a thread pool (PNG decode is the
             # host hot path; PIL/zlib release the GIL)
             try:
                 if self.num_workers > 1:
                     with ThreadPoolExecutor(self.num_workers) as pool:
-                        for batch_idx in self._index_batches(start_epoch):
-                            items = list(
-                                pool.map(self.dataset.__getitem__, batch_idx))
+                        for epoch, batch_idx in self._index_batches(
+                                start_epoch):
+                            if fetch_at is not None:
+                                items = list(
+                                    pool.map(fetch_at, batch_idx,
+                                             [epoch] * len(batch_idx)))
+                            else:
+                                items = list(pool.map(
+                                    self.dataset.__getitem__, batch_idx))
                             if not put(collate(items)):
                                 return
                 else:
-                    for batch_idx in self._index_batches(start_epoch):
-                        items = [self.dataset[i] for i in batch_idx]
+                    for epoch, batch_idx in self._index_batches(start_epoch):
+                        if fetch_at is not None:
+                            items = [fetch_at(i, epoch) for i in batch_idx]
+                        else:
+                            items = [self.dataset[i] for i in batch_idx]
                         if not put(collate(items)):
                             return
             except BaseException as e:  # noqa: BLE001 - re-raised below

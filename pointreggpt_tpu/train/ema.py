@@ -76,5 +76,10 @@ def update(
     return EMAState(
         params=new_params,
         step=step + 1,
-        initted=state.initted | do_tick,
+        # initted only on a POST-warmup tick: ema_pytorch hard-copies on
+        # every warmup tick without setting initted, then hard-copies once
+        # more on the first real tick — setting it during warmup would
+        # make that first post-warmup tick lerp against a
+        # update_every-steps-stale warmup copy instead
+        initted=state.initted | (do_tick & ~warm),
     )

@@ -191,8 +191,10 @@ class MaskTrainer:
         return float(meter)
 
     def eval_one_epoch(self) -> None:
-        if not M.is_main_process():
-            return
+        # EVERY process runs the (global-mesh) eval program — rank-gated
+        # dispatch over a shared mesh desynchronizes multi-controller
+        # SPMD (same rule as Trainer._save_and_sample); the Logger and
+        # checkpoint writes are rank-0-gated on their own
         meters = {}
         outs = []
         vb = self.val_batch_size

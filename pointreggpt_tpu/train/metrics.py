@@ -18,8 +18,17 @@ Array = jax.Array
 
 
 def create_logger(log_file: Optional[str] = None,
-                  name: str = "pointreggpt") -> logging.Logger:
-    """File or console logger (reference: create_logger dc:55-73)."""
+                  name: Optional[str] = None) -> logging.Logger:
+    """File or console logger (reference: create_logger dc:55-73).
+
+    The logger name defaults to the destination, so constructing a second
+    Logger (e.g. a MaskTrainer beside a Trainer) clears and re-points only
+    its OWN handlers — a single shared name would silently redirect the
+    first logger's output to the last-constructed destination.
+    """
+    if name is None:
+        name = ("pointreggpt.console" if log_file is None
+                else f"pointreggpt.file.{log_file}")
     logger = logging.getLogger(name)
     logger.handlers.clear()
     logger.setLevel(logging.INFO)

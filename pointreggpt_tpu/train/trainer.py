@@ -147,7 +147,9 @@ class Trainer:
         # dataset / loader; num_workers=None defaults to the host core
         # count inside PrefetchLoader (sdd:1639-1644)
         self.ds = DepthDataset(folder, self.image_size, gt_log=gt_log,
-                               augment_horizontal_flip=augment_horizontal_flip)
+                               augment_horizontal_flip=augment_horizontal_flip,
+                               seed=seed)
+        self.num_workers = num_workers
         self.dl = iter(
             PrefetchLoader(self.ds,
                            train_batch_size * gradient_accumulate_every,
@@ -267,6 +269,12 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.seed + 1)
         step = int(self.state.step)
+        if step:
+            # resume: fold the restored step in so the continued run draws
+            # a FRESH (noise, timestep) stream instead of replaying the
+            # exact pairs steps 0..step already consumed (fresh runs keep
+            # the historical stream: fold_in(k, 0) != k)
+            key = jax.random.fold_in(key, step)
         t0 = time.time()
         device_losses = []
         while step < self.train_num_steps:
@@ -293,6 +301,9 @@ class Trainer:
             if step != 0 and step % self.save_and_sample_every == 0:
                 with stage("save_and_sample"):
                     self._save_and_sample(step)
+                # restart the img/s window: the milestone's sampling chain
+                # would otherwise deflate the next logged rate
+                t0 = time.time()
             if capture is not None:
                 capture.tick()
         if capture is not None:
@@ -308,23 +319,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _save_and_sample(self, step: int) -> None:
-        if not M.is_main_process():
-            return
         milestone = step // self.save_and_sample_every
         if self.sample_on_save:
+            # EVERY process launches the sampling program: the EMA tree is
+            # replicated over the (possibly multi-process) global mesh, and
+            # multi-controller SPMD forbids rank-gated dispatch of a
+            # program over a shared mesh — a rank-0-only launch would
+            # desynchronize the processes' program sequences at the first
+            # milestone. Only the host-side writes are rank-0-gated.
             images = self.sample_ema(self.num_samples,
                                      seed=self.seed + milestone)
-            save_image_grid(
-                images, self.results_folder / f"sample-{milestone}.png",
-                nrow=int(math.isqrt(self.num_samples)))
-            if self._fid_extractor is not None and \
-                    self._last_batch is not None:
-                from pointreggpt_tpu.eval.fid import fid_score
+            if M.is_main_process():
+                save_image_grid(
+                    images, self.results_folder / f"sample-{milestone}.png",
+                    nrow=int(math.isqrt(self.num_samples)))
+                if self._fid_extractor is not None and \
+                        self._last_batch is not None:
+                    from pointreggpt_tpu.eval.fid import fid_score
 
-                score = fid_score(self._last_batch["img"], images,
-                                  self._fid_extractor)
-                self.logger.info(f"fid_score: {score}")
-        # milestone floored to hundreds, like the reference (sdd:1813)
+                    score = fid_score(self._last_batch["img"], images,
+                                      self._fid_extractor)
+                    self.logger.info(f"fid_score: {score}")
+        # milestone floored to hundreds, like the reference (sdd:1813);
+        # save() gates the checkpoint write on rank 0 itself
         self.save(milestone // 100 * 100)
 
     def sample_ema(self, num_samples: int, *, seed: int = 0) -> np.ndarray:
@@ -382,5 +399,18 @@ class Trainer:
             ema=state["ema"],
         )
         self.state = M.replicate(self.mesh, new_state)
+        # fast-forward the data stream to the epoch the restored step had
+        # reached: the infinite loader's permutation is a pure function of
+        # (seed, epoch), so restarting at epoch 0 would replay the
+        # already-trained data order (epoch-granular; combined with the
+        # step fold-in of the train() key, a resumed run never repeats a
+        # (batch, noise) pairing)
+        global_batch = self.batch_size * self.gradient_accumulate_every
+        batches_per_epoch = max(1, len(self.ds) // global_batch)
+        start_epoch = int(state["step"]) // batches_per_epoch
+        self.dl = iter(
+            PrefetchLoader(self.ds, global_batch, shuffle=True,
+                           infinite=True, num_workers=self.num_workers,
+                           seed=self.seed, start_epoch=start_epoch))
         if meta.get("version"):
             self.logger.info(f"loaded checkpoint version {meta['version']}")

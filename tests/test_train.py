@@ -83,7 +83,13 @@ class TestEMA:
         """The decay epoch counts RAW steps (ema_pytorch reads its counter
         post-increment: epoch = step - update_after_step), not update
         ticks — a tick-unit ramp would stretch the production warmup 10x,
-        leaving early-milestone EMA samples tracking the raw params."""
+        leaving early-milestone EMA samples tracking the raw params.
+
+        And the FIRST post-warmup tick is a hard copy, not a lerp:
+        ema_pytorch leaves ``initted`` False through warmup, copies once
+        more on the first real tick (then lerps identical trees — a
+        no-op), and only later ticks smooth. A lerp there would blend
+        against a 10-step-stale warmup copy."""
         kw = dict(beta=0.995, update_after_step=100, update_every=10,
                   inv_gamma=1.0, power=2.0 / 3.0)  # sdd:1658 config
         state = ema_lib.init({"w": jnp.asarray(0.0)})
@@ -92,10 +98,18 @@ class TestEMA:
             state = ema_lib.update(state, target, **kw)
         # every tick through step 100 is a warmup hard copy
         assert float(state.params["w"]) == 1.0
-        # the step-110 tick lerps with decay 1 - (1 + 10)^(-2/3) ~ 0.798
+        # step-110 tick: first POST-warmup tick -> hard copy of the target
         state = ema_lib.update(state, {"w": jnp.asarray(0.0)}, **kw)
-        expected = 1.0 - (1.0 + 10.0)**(-2.0 / 3.0)
-        np.testing.assert_allclose(float(state.params["w"]), expected,
+        assert float(state.params["w"]) == 0.0
+        # steps 111-119 are tickless no-ops
+        for _ in range(9):
+            state = ema_lib.update(state, {"w": jnp.asarray(1.0)}, **kw)
+        assert float(state.params["w"]) == 0.0
+        # the step-120 tick is the first LERP: decay = 1 - (1+20)^(-2/3)
+        # (ema_pytorch epoch = post-increment 121 - 100 - 1 = 20)
+        state = ema_lib.update(state, {"w": jnp.asarray(1.0)}, **kw)
+        decay = 1.0 - (1.0 + 20.0)**(-2.0 / 3.0)
+        np.testing.assert_allclose(float(state.params["w"]), 1.0 - decay,
                                    rtol=1e-6)
 
 
@@ -134,6 +148,25 @@ class TestCheckpoint:
         time.sleep(0.01)
         ckpt.save_checkpoint(tmp_path / "model-best.ckpt", {"x": 2})
         assert ckpt.latest_milestone(tmp_path) == "best"
+
+
+class TestLoggerIsolation:
+    def test_second_logger_does_not_steal_handlers(self, tmp_path):
+        """Constructing a file Logger (MaskTrainer) beside a console
+        Logger (Trainer) must not clear/re-point the first one's
+        handlers — each destination owns its own named logger."""
+        from pointreggpt_tpu.train.metrics import Logger
+
+        console = Logger(is_main=True)
+        n_handlers = len(console.logger.handlers)
+        filelog = Logger(log_file=str(tmp_path / "train.log"), is_main=True)
+        assert console.logger is not filelog.logger
+        assert len(console.logger.handlers) == n_handlers
+        filelog.info("to file only")
+        console.info("to console only")
+        text = (tmp_path / "train.log").read_text()
+        assert "to file only" in text
+        assert "to console only" not in text
 
 
 class TestMaskMetrics:
@@ -494,6 +527,50 @@ class TestFiniteLoaderReshuffles:
             pass1, np.concatenate([b["i"] for b in replay]))
         np.testing.assert_array_equal(
             pass2, np.concatenate([b["i"] for b in replay]))
+
+    def test_start_epoch_fast_forwards(self):
+        """A resumed trainer restarts its infinite loader at the epoch the
+        restored step had reached; start_epoch=N must reproduce exactly
+        the batches a fresh loader yields in its (N+1)-th pass."""
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        ref = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                             num_workers=1, seed=3)
+        _ = np.concatenate([b["i"] for b in ref])  # epoch 0
+        _ = np.concatenate([b["i"] for b in ref])  # epoch 1
+        pass3 = np.concatenate([b["i"] for b in ref])  # epoch 2
+
+        resumed = PrefetchLoader(self._Ident(), batch_size=4, shuffle=True,
+                                 num_workers=1, seed=3, start_epoch=2)
+        np.testing.assert_array_equal(
+            pass3, np.concatenate([b["i"] for b in resumed]))
+
+    def test_epoch_rides_with_items_not_shared_state(self):
+        """Augmentation epoch is passed per-fetch (getitem_at_epoch), so
+        two interleaved iterations over ONE dataset cannot race on a
+        shared mutable epoch field: each pass decodes with ITS epoch."""
+        from pointreggpt_tpu.data import PrefetchLoader
+
+        class EpochEcho:
+            def __len__(self):
+                return 8
+
+            def getitem_at_epoch(self, i, epoch):
+                return {"i": np.asarray(i), "e": np.asarray(epoch)}
+
+            def __getitem__(self, i):  # pragma: no cover - not used
+                raise AssertionError("loader must use getitem_at_epoch")
+
+        ds = EpochEcho()
+        loader = PrefetchLoader(ds, batch_size=4, shuffle=False,
+                                num_workers=2, seed=0)
+        it0, it1 = iter(loader), iter(loader)
+        b0, b1 = next(it0), next(it1)  # interleaved epochs 0 and 1
+        assert set(b0["e"].tolist()) == {0}
+        assert set(b1["e"].tolist()) == {1}
+        # drain: remaining batches keep their own epochs
+        assert all(set(b["e"].tolist()) == {0} for b in it0)
+        assert all(set(b["e"].tolist()) == {1} for b in it1)
 
     def test_abandoned_iterator_still_deterministic(self):
         """Each __iter__ owns one epoch number, captured on the CONSUMER
