@@ -20,7 +20,6 @@ Re-projection runs batched on device (core.geometry.reproject).
 
 import argparse
 import json
-import os
 import pickle
 from pathlib import Path
 
@@ -50,7 +49,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from pointreggpt_tpu.core import imageio16
-    from pointreggpt_tpu.core.geometry import intrinsic_transform, reproject
+    from pointreggpt_tpu.core.geometry import reproject
 
     with open(args.train_info, "rb") as f:
         info = pickle.load(f)
@@ -63,20 +62,14 @@ def main(argv=None):
     order = rng.permutation(len(info["src"]))[:args.num_pairs]
 
     def frame_record(rel_path):
-        info_path = os.path.join(args.data_root,
-                                 rel_path.replace(".pth", ".info.txt"))
-        with open(info_path, "r") as f:
-            scene_name, seq_name, start, _ = f.readlines()[0].split()
-        scene_path = os.path.join(args.data, scene_name)
-        frame = os.path.join(scene_path, seq_name,
-                             "frame-{:0>6d}.depth.png".format(int(start)))
-        depth = imageio16.load_depth_model_space(frame, args.image_size)
-        pose = np.loadtxt(frame.replace("depth.png", "pose.txt"))
-        intr = intrinsic_transform(
-            np.loadtxt(os.path.join(scene_path, "camera-intrinsics.txt")),
-            resize=args.image_size, centercrop=args.image_size,
-        ).astype(np.float32)
-        return depth, pose, intr
+        # the ONE shared .pth -> first-frame resolver (data/datasets.py):
+        # a local re-implementation here would let the depth-correction
+        # training data silently diverge from the Generator/TestDataset
+        # frame resolution
+        from pointreggpt_tpu.data.datasets import resolve_frame_record
+
+        return resolve_frame_record(args.data_root, args.data, rel_path,
+                                    args.image_size, with_pose=True)
 
     entries = []
     for n, idx in enumerate(order):

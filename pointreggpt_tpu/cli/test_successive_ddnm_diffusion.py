@@ -18,7 +18,7 @@ TEST_DIFFUSION = C.DiffusionConfig(sampling_timesteps=32,
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--resume", default=None, type=str,
-                        help="checkpoint milestone to load")
+                        help="checkpoint milestone to load (required)")
     parser.add_argument("--num_scenes", default=4, type=int)
     parser.add_argument("--num_samples", default=4, type=int)
     parser.add_argument("--batch_size", default=4, type=int)
@@ -32,7 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.resume is None:
+        # fail fast with a clear message — load(None) would otherwise
+        # surface as a FileNotFoundError on "model-None.ckpt" (the
+        # reference CLI has the same trap, test_…_diffusion.py:5-8, 43)
+        parser.error("--resume is required (checkpoint milestone to load)")
 
     from pointreggpt_tpu.generate import Tester
 

@@ -377,9 +377,10 @@ class MixturePairDataset:
             # GeoTransformer's get_correspondences returns (ref_idx,
             # src_idx) columns (ref enumerated first); ours yields
             # [src_idx, ref_idx] — same pair set, flip the columns (row
-            # order differs, downstream treats it as a set). Fancy
-            # indexing, not [:, ::-1]: the host repo's collate calls
-            # torch.from_numpy, which rejects negative strides.
+            # order differs, downstream treats it as a set). The
+            # ascontiguousarray copy is LOAD-BEARING: it removes the
+            # [:, ::-1] negative stride, which the host repo's collate
+            # (torch.from_numpy) rejects.
             data_dict["corr_indices"] = np.ascontiguousarray(
                 correspondences_np(src_points, ref_points, transform,
                                    self.matching_radius)[:, ::-1])

@@ -39,6 +39,14 @@ def calculate_frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
+        # pytorch_fid's sanity check: a numerically failed sqrtm can
+        # return finite entries with a LARGE imaginary diagonal — silently
+        # taking .real there would report a meaningless FID as valid
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m} in matrix sqrt — "
+                             "FID is not numerically valid for these "
+                             "activation statistics")
         covmean = covmean.real
 
     return float(

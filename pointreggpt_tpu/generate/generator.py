@@ -361,9 +361,21 @@ class Generator:
             # num_samples - 1 for EVERY num_samples >= 1, so it is the true
             # completion marker (index num_samples//2 = 0 would probe the
             # pre-generation seed cloud and skip crashed scenes).
-            probe = self.samples_folder / \
-                "scene-{:0>6d}/sample-000001.cloud.ply".format(chunk[-1])
-            if probe.is_file():
+            # EVERY chunk member is probed: a chunk whose LAST scene was
+            # completed by a previous run with a different batch size /
+            # scene range / process count can still hold never-generated
+            # scenes — a last-scene-only probe would skip the chunk
+            # wholesale and leave silent holes in the dataset. A partially
+            # complete chunk is regenerated whole — already-done members
+            # are overwritten with fresh (equally valid) samples, which
+            # beats silently missing scenes; re-running an unchanged
+            # config reproduces them bit-identically (same key stream).
+            done = [
+                (self.samples_folder /
+                 "scene-{:0>6d}/sample-000001.cloud.ply".format(s)).is_file()
+                for s in chunk
+            ]
+            if all(done):
                 if verbose:
                     print("Skip completed scenes "
                           f"{chunk[0]:0>6d} - {chunk[-1]:0>6d}.")

@@ -341,8 +341,17 @@ class Tester:
             mem_pts0, mem_valid0 = G.depth_to_points(
                 images_j[..., 0] * 10.0, intr_j, clip=(0.5, 10.0))
             pad = memory_capacity - mem_pts0.shape[1]
-            mem_pts = jnp.pad(mem_pts0, ((0, 0), (0, pad), (0, 0)))
-            mem_valid = jnp.pad(mem_valid0, ((0, 0), (0, pad)))
+            if pad >= 0:
+                mem_pts = jnp.pad(mem_pts0, ((0, 0), (0, pad), (0, 0)))
+                mem_valid = jnp.pad(mem_valid0, ((0, 0), (0, pad)))
+            else:
+                # seed frame larger than the memory (h*w > capacity, e.g.
+                # a small --memory_capacity at 256^2): bound it with the
+                # same deterministic nearest-to-origin policy the running
+                # memory uses, instead of jnp.pad crashing on a negative
+                # pad width deep inside generate()
+                mem_pts, mem_valid, _ = P.keep_nearest(
+                    mem_pts0, mem_valid0, memory_capacity)
 
             scene_rows = [[] for _ in range(batch)]
             for scene_idx in range(batch):

@@ -109,6 +109,16 @@ class TestRoundTrip:
         assert d.ddim_sampling_eta == 1.0
         assert d.timesteps == 1000
 
+    def test_test_cli_requires_resume_with_clear_error(self, cli, capsys):
+        """Running without --resume must fail fast with a clear message,
+        not reach load(None) -> FileNotFoundError('model-None.ckpt')."""
+        import pytest
+
+        mod = cli("test_successive_ddnm_diffusion")
+        with pytest.raises(SystemExit):
+            mod.main([])
+        assert "--resume is required" in capsys.readouterr().err
+
     def test_generate_cli_defaults_match_reference(self, cli):
         mod = cli("generate_dataset")
         args = mod.build_parser().parse_args(["--resume", "official"])

@@ -39,6 +39,18 @@ class TestFrechetDistance:
         d = calculate_frechet_distance(mu, sigma1, mu, sigma2)
         assert np.isfinite(d) and d > 0
 
+    def test_large_imaginary_sqrtm_raises(self):
+        """pytorch_fid's numeric sanity check: a sqrtm with a large
+        imaginary diagonal must raise, not be silently .real'd into a
+        finite-but-meaningless FID."""
+        import pytest
+
+        mu = np.zeros(2)
+        sigma1 = np.eye(2)
+        sigma2 = np.diag([-1.0, 1.0])  # sqrtm(product) = diag(i, 1)
+        with pytest.raises(ValueError, match="Imaginary"):
+            calculate_frechet_distance(mu, sigma1, mu, sigma2)
+
     def test_statistics_shapes(self):
         feats = np.random.default_rng(2).normal(size=(100, 32))
         mu, sigma = activation_statistics(feats)

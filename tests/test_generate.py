@@ -343,6 +343,49 @@ class TestGenerator:
                      info_train=info)
         assert "Skip" in capsys.readouterr().out
 
+    def test_resume_probes_every_chunk_member(self, tmp_path, monkeypatch,
+                                              capsys):
+        """A chunk whose LAST scene is complete (e.g. finished by a prior
+        run with a different batch size / range / process count) but whose
+        earlier scenes are missing must be regenerated — a last-scene-only
+        probe would skip wholesale and leave silent holes in the dataset."""
+        monkeypatch.chdir(tmp_path)
+        folder, info = make_3dmatch_tree(tmp_path, n_scenes=2)
+        image_size = 32
+        model = DiffusionUNet(dim=8, dim_mults=(1, 2), channels=1)
+        diffusion = GaussianDiffusion(
+            apply_fn=lambda p, x, t, pc: model.apply(p, x, t, pc),
+            image_size=image_size, timesteps=16, sampling_timesteps=2,
+            objective="pred_x0", beta_schedule="sigmoid")
+        gen = Generator(
+            model, diffusion, folder, batch_size=2,
+            results_folder=str(tmp_path / "results"),
+            samples_folder=str(tmp_path / "gen/data"),
+            data_root=str(tmp_path / "dataset/indoor/data"),
+            memory_capacity=4096)
+        # only the chunk's LAST scene carries the completion marker
+        marker = tmp_path / "gen/data/scene-000001/sample-000001.cloud.ply"
+        marker.parent.mkdir(parents=True)
+        plyio.write_ply(marker, np.zeros((1, 3)))
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, image_size, image_size, 1)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4)))
+        from pointreggpt_tpu.train import checkpoint as ckpt
+        from pointreggpt_tpu.train import ema as ema_lib
+        ckpt.save_checkpoint(
+            tmp_path / "results/model-1.ckpt",
+            {"params": params, "ema": ema_lib.init(params)._asdict()})
+        gen.load(1)
+        gen.generate(0, 2, num_samples=1, has_refine_step=False,
+                     info_train=info)
+        assert "Skip" not in capsys.readouterr().out
+        assert (tmp_path /
+                "gen/data/scene-000000/sample-000001.cloud.ply").is_file()
+        # fully complete now -> the second run skips
+        gen.generate(0, 2, num_samples=1, has_refine_step=False,
+                     info_train=info)
+        assert "Skip" in capsys.readouterr().out
+
 
 @pytest.mark.slow
 class TestMakeDepthCorrectionData:

@@ -107,6 +107,20 @@ class TestTester:
         assert tester._generate_fns[(0.05, 4096)] is fns
 
 
+class TestTesterSmallCapacity:
+    def test_generate_with_capacity_below_seed_frame(self, tmp_path):
+        """memory_capacity < image_size^2: the seed frame must be bounded
+        through keep_nearest (the nearest-to-origin memory policy), not
+        crash jnp.pad with a negative pad width."""
+        tester = make_tester(tmp_path)  # 32x32 -> seed frame 1024 pts
+        tester.generate(num_scenes=1, num_samples=2, voxel_size=0.05,
+                        memory_capacity=512)
+        samples = tmp_path / "samples"
+        assert (samples / "scene-0-sample-1.png").exists()
+        mem = plyio.read_ply(samples / "scene-0-memory.ply")
+        assert 0 < mem.shape[0] <= 512
+
+
 class TestDepthImageNp:
     def test_roundtrip_with_point_cloud_np(self):
         k = np.array([[80.0, 0, 16.0], [0, 80.0, 12.0], [0, 0, 1.0]])
