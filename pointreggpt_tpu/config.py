@@ -136,6 +136,19 @@ class GtLogConfig:
     overlap_factor: float = 1.5
 
 
+def _parse_bool(s: str) -> bool:
+    """Strict boolean flag vocabulary — an unrecognized value (a typo like
+    'Ture', or 'y') must be an argparse error, not a silent False that
+    disables e.g. augmentation for an entire multi-day run."""
+    v = s.lower()
+    if v in ("1", "true", "yes"):
+        return True
+    if v in ("0", "false", "no"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"expected one of 1/0/true/false/yes/no, got {s!r}")
+
+
 def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type[T],
                        prefix: str = "",
                        defaults: Optional[T] = None) -> None:
@@ -151,8 +164,7 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls: Type[T],
         name = f"--{prefix}{f.name}"
         default = getattr(base, f.name)
         if isinstance(default, bool):
-            parser.add_argument(name, type=lambda s: s.lower() in
-                                ("1", "true", "yes"), default=default)
+            parser.add_argument(name, type=_parse_bool, default=default)
         elif isinstance(default, tuple):
             parser.add_argument(
                 name, type=lambda s: tuple(int(x) for x in s.split(",")),

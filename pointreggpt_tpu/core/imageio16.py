@@ -33,6 +33,11 @@ def read_depth_png(path: Union[str, os.PathLike],
             out = native.png16_decode(data)
             if out is not None:
                 return out
+            # fall back on the bytes already in memory — no second disk
+            # read (same fix as load_depth_model_space)
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(data)))
     img = Image.open(path)
     return np.asarray(img)
 

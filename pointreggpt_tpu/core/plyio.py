@@ -66,7 +66,12 @@ def write_ply(path: Union[str, os.PathLike], points: np.ndarray,
 def read_ply(path: Union[str, os.PathLike]) -> np.ndarray:
     """Read vertex x/y/z from an ascii or binary_little_endian PLY.
 
-    Extra vertex properties (normals, colors) are parsed past but ignored.
+    Extra vertex properties (normals, colors) are parsed past but ignored;
+    trailing elements after vertex (e.g. a mesh export's face element, the
+    standard MeshLab/Open3D layout) are ignored too. The vertex element
+    must come FIRST — a preceding element would shift the body offset, so
+    that layout is rejected loudly rather than read as garbage. CRLF
+    headers (Windows writers) are accepted.
 
     Returns:
         (n, 3) float64 points.
@@ -74,16 +79,20 @@ def read_ply(path: Union[str, os.PathLike]) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
 
-    end = data.find(b"end_header\n")
+    end = data.find(b"end_header")
     if end < 0:
         raise ValueError(f"{path}: not a PLY file (no end_header)")
+    body_start = data.find(b"\n", end)
+    if body_start < 0:
+        raise ValueError(f"{path}: truncated PLY header")
     header = data[:end].decode("ascii", errors="replace").splitlines()
-    body = data[end + len(b"end_header\n"):]
+    body = data[body_start + 1:]
 
     fmt = None
     n_vertex = 0
     props = []  # (name, dtype) in declaration order, vertex element only
     in_vertex = False
+    elements = []  # declaration order of element names
     for line in header:
         tok = line.strip().split()
         if not tok:
@@ -91,6 +100,7 @@ def read_ply(path: Union[str, os.PathLike]) -> np.ndarray:
         if tok[0] == "format":
             fmt = tok[1]
         elif tok[0] == "element":
+            elements.append(tok[1])
             in_vertex = tok[1] == "vertex"
             if in_vertex:
                 n_vertex = int(tok[2])
@@ -99,12 +109,23 @@ def read_ply(path: Union[str, os.PathLike]) -> np.ndarray:
                 raise ValueError(f"{path}: list property in vertex element")
             props.append((tok[2], _DTYPES[tok[1]]))
 
+    if "vertex" not in elements:
+        raise ValueError(f"{path}: no vertex element")
+    if elements[0] != "vertex":
+        # a preceding element shifts the body offset (and list-typed ones
+        # have data-dependent sizes) — reading on would return garbage
+        raise ValueError(
+            f"{path}: vertex is not the first element ({elements}); "
+            "unsupported layout")
+
     names = [p[0] for p in props]
     if not all(axis in names for axis in ("x", "y", "z")):
         raise ValueError(f"{path}: vertex element missing x/y/z")
 
     if fmt == "ascii":
-        rows = body.decode("ascii").split()
+        # slice to the vertex element's own values: trailing elements
+        # (faces) share the body
+        rows = body.decode("ascii").split()[:n_vertex * len(props)]
         arr = np.array(rows, dtype=np.float64).reshape(n_vertex, len(props))
         cols = [arr[:, names.index(a)] for a in ("x", "y", "z")]
         return np.stack(cols, axis=-1)

@@ -74,8 +74,15 @@ def _build() -> bool:
     cpp = _SRC / "pointreggpt_native.cpp"
     if not cpp.exists():
         return False
+    # compile to a process-unique tmp name, then atomically os.replace
+    # into place: two processes racing the same missing _LIB_PATH would
+    # otherwise have g++ truncate/rewrite the file one of them is about
+    # to (or already did) dlopen. The dotted tmp name stays outside the
+    # `_pointreggpt_native*.so` stale-cleanup glob so a concurrent
+    # _load() cannot unlink a build in progress.
+    tmp = _LIB_PATH.parent / f".build-{os.getpid()}-{_LIB_PATH.name}"
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", str(_LIB_PATH), str(cpp)]
+            "-o", str(tmp), str(cpp)]
     # PNG decode needs zlib; on hosts without zlib dev headers retry
     # without it (png16_* become "unsupported" stubs and callers fall back
     # to PIL) rather than losing ALL native fast paths.
@@ -83,6 +90,7 @@ def _build() -> bool:
         try:
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=300)
+            os.replace(tmp, _LIB_PATH)
             if cmd is not base:
                 return True
             import warnings
@@ -93,6 +101,12 @@ def _build() -> bool:
             return True
         except Exception:
             continue
+        finally:
+            if tmp.exists():
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
     return False
 
 
@@ -105,11 +119,17 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _LIB_PATH.exists() and not _build():
             _build_failed = True
             return None
-        # drop superseded builds (other hash tags, and the legacy unhashed
-        # name) so dev loops / version upgrades sharing this dir don't
-        # accumulate one .so per source revision
+        # drop superseded builds so dev loops don't accumulate one .so per
+        # source revision. Other-hash binaries are deleted only in the
+        # IN-TREE csrc dir, whose contents map 1:1 to the current source —
+        # in the SHARED user cache dir another installed version may be
+        # live under a different hash (deleting it would rebuild
+        # ping-pong); there only the legacy unhashed name is cleaned.
+        in_tree = _LIB_PATH.parent == _SRC
         for stale in _LIB_PATH.parent.glob("_pointreggpt_native*.so"):
-            if stale != _LIB_PATH:
+            if stale == _LIB_PATH:
+                continue
+            if in_tree or stale.name == "_pointreggpt_native.so":
                 try:
                     stale.unlink()
                 except OSError:
@@ -178,8 +198,9 @@ def depth_preprocess(raw: np.ndarray, out_size: int,
 
 def png16_decode(png_bytes: bytes) -> Optional[np.ndarray]:
     """Decode a 16-bit grayscale PNG to (h, w) uint16, or None when the
-    image is not the supported production format (caller falls back to
-    PIL). Raises on corrupt data of the right format."""
+    bytes are not the supported production format — including non-PNG
+    content (caller falls back to PIL, which decodes by content). Raises
+    only on decode-stage corruption of a confirmed supported PNG."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -188,10 +209,13 @@ def png16_decode(png_bytes: bytes) -> Optional[np.ndarray]:
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.png16_dims(ptr, buf.size, ctypes.byref(h), ctypes.byref(w))
+    # 1/2: not a (well-formed) PNG at all — e.g. a TIFF/JPEG mislabeled
+    # *.png, which PIL decodes by CONTENT and the reference pipeline
+    # trains on, so it must reach the PIL fallback rather than raise;
     # 3: over the 64-Mpix allocation cap (a LEGITIMATE huge image decodes
     # via PIL, which has its own decompression-bomb guard); 4/5:
     # unsupported bit depth/color/interlace
-    if rc in (3, 4, 5):
+    if rc in (1, 2, 3, 4, 5):
         return None
     if rc != 0:
         raise ValueError(f"png16_dims failed (rc={rc})")
@@ -218,7 +242,11 @@ def png16_depth_preprocess(png_bytes: bytes, out_size: int,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
         out_size, int(flip),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if rc in (3, 4, 5):  # dims over cap -> PIL; unsupported format -> PIL
+    # 1-5: not the supported production format (incl. not-a-PNG and the
+    # too-small-to-crop case, which shares codes 1/2 with png16_dims) ->
+    # PIL fallback; >= 6 is decode-stage corruption of a confirmed
+    # supported PNG, which IS an error
+    if rc in (1, 2, 3, 4, 5):
         return None
     if rc != 0:
         raise ValueError(f"png16_depth_preprocess failed (rc={rc})")

@@ -110,9 +110,13 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
 
     Equivalent of Accelerate's ``split_batches=True`` dataloader sharding
     (sdd:1601): the global batch divides across chips. Arrays whose leading
-    dim does not divide the mesh (e.g. batch-1 validation) are replicated.
+    dim does not divide the DATA axis (e.g. batch-1 validation) are
+    replicated — the divisibility gate uses ``mesh.shape[axis]``, not the
+    total device count, so a multi-axis mesh (say 4×2 data×model) still
+    splits a batch of 4 over its data axis instead of silently replicating
+    it 8 ways.
     """
-    n = int(mesh.devices.size)
+    n = int(mesh.shape[axis])
     split = batch_sharded(mesh, axis)
     repl = replicated(mesh)
 

@@ -42,7 +42,21 @@ def save_checkpoint(path: Union[str, os.PathLike], state: Dict[str, Any],
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         f.write(blob)
+        # make the tmp+rename actually atomic-durable: without the fsync a
+        # crash after os.replace can journal the rename while the data
+        # blocks are still in page cache — replacing a GOOD checkpoint
+        # with a zero-length one
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    try:
+        dfd = os.open(path.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:  # pragma: no cover - e.g. dir fsync unsupported (NFS)
+        pass
 
 
 def load_checkpoint(path: Union[str, os.PathLike],

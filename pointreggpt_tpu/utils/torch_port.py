@@ -44,6 +44,12 @@ def _dense_from_linear(sd: Mapping, name: str) -> Dict[str, np.ndarray]:
 
 def _dense_from_1x1(sd: Mapping, name: str) -> Dict[str, np.ndarray]:
     w = _np(sd[f"{name}.weight"])  # (o, i, 1, 1)
+    if w.ndim != 4 or w.shape[2:] != (1, 1):
+        # a reference-version drift to e.g. a 3x3 conv here would
+        # otherwise silently port one corner tap (the (i, o) Dense
+        # template shape still matches, so _check_structure passes)
+        raise ValueError(
+            f"{name}.weight: expected a 1x1 conv kernel, got {w.shape}")
     out = {"kernel": w[:, :, 0, 0].T}
     if f"{name}.bias" in sd:
         out["bias"] = _np(sd[f"{name}.bias"])

@@ -39,6 +39,22 @@ class TestConfig:
         assert tc.data == "/tmp/x"
         assert tc.train_lr == 8e-5  # untouched default
 
+    def test_bool_flag_typo_is_an_error(self, capsys):
+        """'--calculate_fid Ture' (typo) must be an argparse error, not a
+        silent False that disables the feature for a whole run."""
+        import pytest
+
+        parser = argparse.ArgumentParser()
+        C.add_dataclass_args(parser, C.TrainConfig)
+        with pytest.raises(SystemExit):
+            parser.parse_args(["--calculate_fid", "Ture"])
+        assert "1/0/true/false/yes/no" in capsys.readouterr().err
+        # the full accepted vocabulary round-trips
+        for v, want in (("0", False), ("no", False), ("False", False),
+                        ("yes", True), ("1", True)):
+            args = parser.parse_args(["--calculate_fid", v])
+            assert args.calculate_fid is want
+
     def test_tuple_field(self):
         parser = argparse.ArgumentParser()
         C.add_dataclass_args(parser, C.ModelConfig)

@@ -38,6 +38,35 @@ class TestPly:
         got = plyio.read_ply(path)
         np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])
 
+    def test_reads_ascii_mesh_with_faces(self, tmp_path):
+        """The standard MeshLab/Open3D mesh layout (vertex element first,
+        face element after) must yield the vertices, ignoring faces —
+        and a CRLF header (Windows writers) must parse."""
+        path = tmp_path / "mesh.ply"
+        path.write_bytes(
+            ("ply\r\nformat ascii 1.0\r\nelement vertex 3\r\n"
+             "property float x\r\nproperty float y\r\nproperty float z\r\n"
+             "element face 1\r\nproperty list uchar int vertex_indices\r\n"
+             "end_header\r\n"
+             "0 0 0\r\n1 0 0\r\n0 1 0\r\n3 0 1 2\r\n").encode())
+        got = plyio.read_ply(path)
+        np.testing.assert_allclose(got, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+
+    def test_vertex_not_first_element_rejected(self, tmp_path):
+        """A preceding element shifts the body offset — reading on would
+        silently return garbage, so the layout must be rejected loudly."""
+        import pytest
+
+        path = tmp_path / "weird.ply"
+        path.write_text(
+            "ply\nformat ascii 1.0\n"
+            "element edge 1\nproperty float w\n"
+            "element vertex 1\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n9.0\n1 2 3\n")
+        with pytest.raises(ValueError, match="not the first element"):
+            plyio.read_ply(path)
+
     def test_reads_extra_properties(self, tmp_path):
         # binary PLY with normals interleaved — x/y/z still extracted
         header = (

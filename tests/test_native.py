@@ -212,9 +212,11 @@ class TestPng16Decode:
                      (60000, 60000)):      # dims ok, product over 64 Mpix
             assert native.png16_decode(ihdr(w, h)) is None
             assert native.png16_depth_preprocess(ihdr(w, h), 256) is None
-        # genuinely malformed input (bad signature) still raises
-        with np.testing.assert_raises(ValueError):
-            native.png16_decode(b"\x00" * 64)
+        # non-PNG bytes (bad signature) return None — a TIFF/JPEG
+        # mislabeled *.png must reach the PIL fallback, which decodes by
+        # content like the reference pipeline, not kill the dataloader
+        assert native.png16_decode(b"\x00" * 64) is None
+        assert native.png16_depth_preprocess(b"\x00" * 64, 256) is None
         # the real production size still parses
         import cv2
 

@@ -42,6 +42,16 @@ class TestMesh:
         shard_shapes = {s.data.shape for s in out["x"].addressable_shards}
         assert shard_shapes == {(2, 4)}
 
+    def test_shard_batch_gates_on_data_axis_not_total(self):
+        """On a 4x2 data x model mesh, a batch of 4 divides the DATA axis
+        but not the 8 total devices — it must still split over data (a
+        total-size gate silently replicated it 8 ways)."""
+        mesh2 = M.create_mesh(axis_names=("data", "model"))
+        assert dict(mesh2.shape) == {"data": 4, "model": 2}
+        out = M.shard_batch(mesh2, {"x": np.arange(4, dtype=np.float32)})
+        shard_shapes = {s.data.shape for s in out["x"].addressable_shards}
+        assert shard_shapes == {(1,)}  # 4 / data-axis 4
+
     def test_shard_batch_indivisible_replicates(self):
         mesh = M.create_mesh()
         batch = {"x": np.ones((3, 4), np.float32)}
